@@ -1,0 +1,82 @@
+"""M0 tests: canonicalization vectors + properties (SURVEY.md §5.4)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tripwire_spark.functions.urls import (
+    canonicalize_url_py,
+    host_of_py,
+    reg_domain_py,
+)
+
+VECTORS = [
+    # (input, expected canonical)
+    ("HTTP://Example.COM/", "http://example.com/"),
+    ("http://example.com", "http://example.com/"),
+    ("http://example.com:80/a", "http://example.com/a"),
+    ("https://example.com:443/a", "https://example.com/a"),
+    ("https://example.com:8443/a", "https://example.com:8443/a"),
+    ("http://example.com/a/./b/../c", "http://example.com/a/c"),
+    ("http://example.com/%7Euser", "http://example.com/~user"),
+    ("http://example.com/%7euser", "http://example.com/~user"),
+    ("http://example.com/a%2Fb", "http://example.com/a/b"),  # decoded slash joins path
+    ("http://example.com/a?b=1&c=2", "http://example.com/a?b=1&c=2"),
+    ("http://example.com/a#frag", "http://example.com/a"),
+    ("example.com/x", "http://example.com/x"),  # scheme-less seed (queue_sites:101-109)
+    ("http://EXAMPLE.com./x", "http://example.com/x"),
+    ("  http://example.com/x  ", "http://example.com/x"),
+    ("http://site0001.test/p3", "http://site0001.test/p3"),
+    ("http://example.com/..", "http://example.com/"),
+    ("http://example.com/a/..", "http://example.com/"),
+    ("", None),
+    (None, None),
+    ("http://bad host/", None),
+    ("http://:80/", None),
+]
+
+
+def test_canonicalize_vectors():
+    for raw, want in VECTORS:
+        assert canonicalize_url_py(raw) == want, raw
+
+
+@given(st.text(max_size=100))
+@settings(max_examples=300, deadline=None)
+def test_canonicalize_idempotent(s):
+    once = canonicalize_url_py(s)
+    if once is not None:
+        assert canonicalize_url_py(once) == once
+
+
+def test_reg_domain():
+    assert reg_domain_py("www.example.com") == "example.com"
+    assert reg_domain_py("a.b.example.co.uk") == "example.co.uk"
+    assert reg_domain_py("site0001.test") == "site0001.test"
+    assert reg_domain_py("deep.sub.site0001.test") == "site0001.test"
+    assert reg_domain_py("localhost") == "localhost"
+    assert reg_domain_py(None) is None
+
+
+def test_host_of():
+    assert host_of_py("http://A.B.test/x?q=1") == "a.b.test"
+    assert host_of_py("no-scheme.test/x") == "no-scheme.test"
+
+
+def test_spark_canonicalize_matches_python(spark):
+    import pyspark.sql.functions as F
+
+    from tripwire_spark.functions.urls import canonicalize_url, url_hash
+
+    raw = [r for r, _ in VECTORS if r]
+    df = spark.createDataFrame([(u,) for u in raw], "url string")
+    got = (
+        df.withColumn("canon", canonicalize_url("url"))
+        .withColumn("h", url_hash("canon"))
+        .collect()
+    )
+    for row in got:
+        assert row.canon == canonicalize_url_py(row.url)
+        if row.canon is not None:
+            assert isinstance(row.h, int)
