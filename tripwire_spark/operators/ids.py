@@ -1,0 +1,72 @@
+"""Deterministic, scalable dense-id assignment.
+
+The reference relies on Postgres ``serial`` PKs and a Redis ``INCR``
+counter for global ids (``runners/common_utils.py:341-342``,
+``schema.sql:2317``).  Spark's ``monotonically_increasing_id`` is not
+stable across runs/partitionings, and a global ``row_number()`` window
+collapses to a single partition — a non-starter at 10^10 rows.
+
+``assign_dense_ids`` reproduces serial semantics scalably:
+
+1. range-partition by the requested total order,
+2. count rows per partition (tiny driver-side collect: one long per
+   partition),
+3. cumulative offsets + per-partition local index via
+   ``zipWithIndex``-style arithmetic on Arrow batches.
+
+Result: ids are dense, start at ``start``, and follow exactly the
+requested sort order — replayable across runs and cluster sizes.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def assign_dense_ids(
+    df: DataFrame,
+    order_cols: list[str],
+    id_col: str = "qid",
+    start: int = 0,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add ``id_col`` = start, start+1, ... following ``order_cols`` order.
+
+    Deterministic given deterministic ``order_cols`` (ties broken by the
+    full column list — callers must pass a total order).
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parted = df.repartitionByRange(n, *[F.col(c) for c in order_cols]).sortWithinPartitions(
+        *[F.col(c) for c in order_cols]
+    )
+    parted = parted.withColumn("__pid", F.spark_partition_id())
+    # Pin the sampled range boundaries: the count action and the final
+    # mapInPandas must see the SAME physical partitioning.
+    parted = parted.persist()
+    # Per-partition counts: tiny aggregate (one row per partition).
+    counts = {r["__pid"]: r["cnt"] for r in parted.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets: dict[int, int] = {}
+    acc = start
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    out_schema = parted.drop("__pid").schema.add(id_col, "long", False)
+    offs = offsets  # closure capture (small dict)
+
+    def add_ids(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        local = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            base = offs.get(int(pdf["__pid"].iloc[0]), 0)
+            pdf = pdf.drop(columns="__pid")
+            pdf[id_col] = range(base + local, base + local + len(pdf))
+            local += len(pdf)
+            yield pdf
+
+    return parted.mapInPandas(add_ids, schema=out_schema)
