@@ -39,7 +39,6 @@ from tripwire_spark.operators.frontier import (
     blacklist_regex,
     build_frontier,
     politeness_schedule,
-    salted_repartition,
     seed_decision_log,
     settle,
 )
@@ -50,21 +49,46 @@ from tripwire_spark.sources.snapshots import SnapshotTable
 ROUND_QID_BASE = 1 << 40
 
 
-def fetch_pages(claimed: DataFrame, pages: DataFrame) -> DataFrame:
+def fetch_pages(claimed: DataFrame, pages: DataFrame, persist: bool = True) -> tuple[DataFrame, DataFrame]:
     """J11: the 'page load' as an equi-join on canonical url.
 
-    The pages side is the 100 TB fact table; the claimed side is one
-    politeness round (|hosts| x budget rows) — small enough that AQE
-    picks a broadcast of `claimed` at scale.  We pre-repartition the
-    claimed side by salted host hash so downstream per-host work
-    (extraction) has no mega-host stragglers.
+    The pages side is the 100 TB fact table and is NEVER shuffled.  A
+    plain left join could not broadcast its outer (claimed) side, so it
+    would sort-merge-shuffle the whole pages table; instead:
+
+    - hits  = broadcast(claimed) INNER JOIN pages — the scan streams
+      past a broadcast hash table of one round's claims (bounded by
+      |hosts| x budget);
+    - misses = claimed LEFT ANTI hits on qid — both sides tiny.
+
+    Downstream extraction is per-row (no host co-location needed); AQE
+    coalesces post-join partitions.  Host skew is defused inside
+    politeness_schedule (two-phase salted ranking).  Assumes ``pages``
+    holds one canonical snapshot row per url (dedup-at-ingest, like the
+    reference's one-live-page-per-fetch).
     """
-    salted = salted_repartition(claimed)
     pg = pages.select(
         F.col("url").alias("p_url"), "warc_ts", "html", F.col("text").alias("page_text"), "lang"
     )
-    joined = salted.join(pg, salted["url"] == pg["p_url"], "left")
-    return joined.withColumn("found", F.col("p_url").isNotNull()).drop("p_url")
+    hits = (
+        claimed.hint("broadcast")
+        .join(pg, claimed["url"] == pg["p_url"], "inner")
+        .drop("p_url")
+        .withColumn("found", F.lit(True))
+    )
+    if persist:
+        # Pin hits so the pages scan runs exactly once per round (the
+        # miss anti-join and every downstream consumer read the cache).
+        hits = hits.persist()
+    misses = (
+        claimed.join(F.broadcast(hits.select("qid")), "qid", "left_anti")
+        .withColumn("warc_ts", F.lit(None).cast("timestamp"))
+        .withColumn("html", F.lit(None).cast("binary"))
+        .withColumn("page_text", F.lit(None).cast("string"))
+        .withColumn("lang", F.lit(None).cast("string"))
+        .withColumn("found", F.lit(False))
+    )
+    return hits.unionByName(misses), hits
 
 
 def extract_round(fetched: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -226,7 +250,7 @@ def run_crawl(
             claimed.unpersist()
             break
 
-        fetched = fetch_pages(claimed, pages).persist()
+        fetched, hits = fetch_pages(claimed, pages)
         round_results, links = extract_round(fetched)
         seen = state.frontier.select("url")
         new_rows, link_decisions = discover(links, seen, patterns, round_no=r, vid=vid)
@@ -247,6 +271,12 @@ def run_crawl(
             new_urls=new_rows,
             disabled=disabled,
         )
+        if not tables:
+            # Pin this round's increments NOW: they must stay readable
+            # after hits.unpersist() without re-scanning the pages table.
+            round_results = round_results.localCheckpoint(eager=True)
+            log = log.localCheckpoint(eager=True)
+            link_decisions = link_decisions.localCheckpoint(eager=True)
         state.results = round_results if state.results is None else state.results.unionByName(round_results)
         state.fetch_log = log if state.fetch_log is None else state.fetch_log.unionByName(log)
         state.decision_log = state.decision_log.unionByName(link_decisions)
@@ -269,7 +299,7 @@ def run_crawl(
             # No checkpoint: pin each round's frontier to break lineage growth.
             state.frontier = state.frontier.localCheckpoint(eager=True)
 
-        fetched.unpersist()
+        hits.unpersist()
         claimed.unpersist()
 
     return state

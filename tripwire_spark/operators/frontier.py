@@ -101,12 +101,23 @@ def politeness_schedule(
     robots: DataFrame | None = None,
     default_budget: int = DEFAULT_BUDGET,
     round_no: int = 1,
+    salt_buckets: int = 16,
 ) -> tuple[DataFrame, DataFrame]:
     """Claim this round's jobs: per-host FIFO rank under the politeness
     budget (W2: rank by qid within host; common_queries.py:42-56).
 
+    Skew design (the salted host-hash strategy of SURVEY.md §4 #2): a
+    mega-host with 10^7 pending URLs must not pin one window partition.
+    Top-B per host is computed in two phases —
+
+    1. rank within (host, salt) where salt = xxhash64(url) % S: each hot
+       host fans out over S partitions; keep rank <= budget per salt
+       (the global per-host top-B is a subset of the union of per-salt
+       top-Bs, so phase 1 loses nothing);
+    2. exact rank over (host) on the <= S*B survivors per host.
+
     Returns (claimed, disabled_by_robots).  ``robots`` is broadcast —
-    it is a per-host dimension table, tiny next to the frontier.
+    a per-host dimension table, tiny next to the frontier.
     """
     claimable = frontier.filter((F.col("status") == ST_QUEUED) & (F.col("try") < MAX_TRIES))
     if robots is not None:
@@ -127,9 +138,12 @@ def politeness_schedule(
         claimable = claimable.withColumn("crawl_budget", F.lit(default_budget))
         budget = F.col("crawl_budget")
 
-    w = Window.partitionBy("queue", "host").orderBy("qid")
+    salted = claimable.withColumn("__salt", F.pmod(F.xxhash64("url"), F.lit(salt_buckets)))
+    w1 = Window.partitionBy("queue", "host", "__salt").orderBy("qid")
+    survivors = salted.withColumn("__rn1", F.row_number().over(w1)).filter(F.col("__rn1") <= budget)
+    w2 = Window.partitionBy("queue", "host").orderBy("qid")
     claimed = (
-        claimable.withColumn("__rank", F.row_number().over(w))
+        survivors.withColumn("__rank", F.row_number().over(w2))
         .filter(F.col("__rank") <= budget)
         .select(*FRONTIER_COLS)
         .withColumn("status", F.lit(ST_RUNNING))
