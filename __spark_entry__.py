@@ -298,7 +298,280 @@ def q_tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# batch 2: dedup family, similarity, text analytics, ip algebra, views
+
+
+def _aug_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """documents + near-duplicate copies (doc_id%25==0 -> +' zzz end'),
+    built identically in the DuckDB oracles."""
+    d = _t(spark, sf, "documents").select(F.col("doc_id").alias("doc"), "text")
+    dups = (
+        _t(spark, sf, "documents")
+        .filter(F.pmod(F.col("doc_id"), F.lit(25)) == 0)
+        .select((F.col("doc_id") + 100000).alias("doc"), F.concat(F.col("text"), F.lit(" zzz end")).alias("text"))
+    )
+    return d.unionAll(dups)
+
+
+_AUG_DOCS_SQL = """
+        docs AS (
+          SELECT doc_id AS doc, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000 AS doc, text || ' zzz end' AS text
+          FROM documents WHERE doc_id % 25 = 0),
+        toks AS (SELECT doc, string_split_regex(lower(trim(text)), '\\s+') AS t FROM docs),
+        idx AS (SELECT doc, t, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i FROM toks),
+        sh AS (SELECT DISTINCT doc, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle FROM idx),
+        sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc),
+        inter AS (
+          SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
+          FROM sh a JOIN sh b USING (shingle) WHERE a.doc < b.doc GROUP BY 1, 2)
+"""
+
+_JACCARD_PAIRS_SQL = f"""
+        WITH {_AUG_DOCS_SQL}
+        SELECT doc_a, doc_b,
+               round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc = inter.doc_a
+        JOIN sizes sb ON sb.doc = inter.doc_b
+        WHERE inter / (sa.sz + sb.sz - inter) >= 0.8
+"""
+
+
+def q_ngram_jaccard_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    # Exact n-gram-Jaccard near-dup pairs (training-data dedup baseline)
+    from tripwire_spark.operators.dedup import exact_jaccard_pairs, shingles
+
+    return exact_jaccard_pairs(shingles(_aug_docs(spark, sf), "doc", "text", 3), 0.8)
+
+
+def q_minhash_lsh_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    # MinHash+LSH with exact verification: recall ~1 at tau=0.8, so the
+    # verified output equals the exact pair set (oracle below).
+    from tripwire_spark.operators.dedup import minhash_dedup_pairs
+
+    return minhash_dedup_pairs(_aug_docs(spark, sf), "doc", "text", n=3, k=64, bands=32, rows=2, threshold=0.8)
+
+
+def q_simhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    # SimHash near-dup pairs (engine-hash based -> rows-only check; the
+    # pytest suite asserts planted dups are found)
+    from tripwire_spark.operators.dedup import simhash, simhash_pairs
+
+    return simhash_pairs(simhash(_aug_docs(spark, sf), "doc", "text"), max_hamming=7)
+
+
+def q_embedding_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    # Embedding-cosine near-dup over corpus + perturbed copies
+    from tripwire_spark.operators.dedup import embedding_dup_pairs
+
+    e = _t(spark, sf, "embeddings")
+    pert = e.filter(F.pmod(F.col("vec_id"), F.lit(50)) == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.slice(F.col("embedding").cast("array<double>"), 1, 1),
+            F.array(F.element_at(F.col("embedding").cast("array<double>"), 2) + F.lit(0.5)),
+            F.slice(F.col("embedding").cast("array<double>"), 3, 62),
+        ).alias("embedding"),
+    )
+    aug = e.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")).unionAll(pert)
+    return embedding_dup_pairs(aug, "vec_id", "embedding", threshold=0.9)
+
+
+def q_ann_topk_brute(spark: SparkSession, sf: str) -> DataFrame:
+    # Brute-force cosine top-3 for query vectors (vec_id % 100 == 0)
+    from tripwire_spark.operators.similarity import brute_topk
+
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.pmod(F.col("vec_id"), F.lit(100)) == 0)
+    return brute_topk(e, q, k=3)
+
+
+def q_ann_topk_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    # Sign-LSH bucketed ANN (scale path; recall checked in pytest)
+    from tripwire_spark.operators.similarity import signlsh_topk
+
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.pmod(F.col("vec_id"), F.lit(100)) == 0)
+    return signlsh_topk(e, q, k=3)
+
+
+def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    # Language ID: stopword-hit argmax (deterministic tie-break)
+    from tripwire_spark.operators import textstats as TS
+
+    d = _t(spark, sf, "documents")
+    toks = TS.tokens(F.col("text"))
+    cols = [s.alias(f"{lang}_hits") for lang, s in TS.lang_scores(toks)]
+    return d.select("doc_id", "lang", TS.lang_id(toks).alias("pred_lang"), *cols)
+
+
+def q_doc_quality(spark: SparkSession, sf: str) -> DataFrame:
+    # Quality gates: token count, mean token length, stopword ratio
+    from tripwire_spark.operators import textstats as TS
+
+    d = _t(spark, sf, "documents")
+    feats = TS.quality_features(F.col("text"))
+    return d.select(
+        "doc_id",
+        feats["n_tokens"].alias("n_tokens"),
+        F.round(feats["mean_token_len"], 6).alias("mean_token_len"),
+        F.round(feats["stop_ratio"], 6).alias("stop_ratio"),
+        feats["keep"].alias("keep"),
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    # Fingerprints: md5 of normalized text + order-sensitive rolling hash
+    from tripwire_spark.operators import textstats as TS
+
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        TS.fingerprint_md5(F.col("text")).alias("fp_md5"),
+        TS.rolling_fingerprint(F.col("text")).alias("fp_roll"),
+    )
+
+
+def q_ip4_algebra(spark: SparkSession, sf: str) -> DataFrame:
+    # C5: ip4/ip4r algebra on int64 (schema.sql:398-1467); /24 masking (C7)
+    c = _t(spark, sf, "customer")
+    ip = F.pmod(F.col("c_custkey") * F.lit(2654435761), F.lit(4294967296)).cast("long")
+    net24 = ip.bitwiseAND(F.lit(4294967040))
+    dotted = F.concat_ws(
+        ".",
+        F.shiftrightunsigned(ip, 24).bitwiseAND(F.lit(255)).cast("string"),
+        F.shiftrightunsigned(ip, 16).bitwiseAND(F.lit(255)).cast("string"),
+        F.shiftrightunsigned(ip, 8).bitwiseAND(F.lit(255)).cast("string"),
+        ip.bitwiseAND(F.lit(255)).cast("string"),
+    )
+    return c.select(
+        F.col("c_custkey").alias("custkey"),
+        ip.alias("ip"),
+        net24.alias("net24"),
+        dotted.alias("dotted"),
+        ip.between(F.lit(1 << 30), F.lit(3 << 30)).alias("in_range"),
+    )
+
+
+def q_keyword_count(spark: SparkSession, sf: str) -> DataFrame:
+    # A6: keyword occurrence counting (submitcheck.js:6-14,130-141)
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("(slow|merge|join)"), 0)).cast("long").alias("n_kw"),
+    )
+
+
+def q_fill_pct(spark: SparkSession, sf: str) -> DataFrame:
+    # A5: fill-success percentage, 1-decimal rounding (tripwire.js:185-206)
+    e = _t(spark, sf, "events")
+    return e.groupBy("user_id").agg(
+        F.round(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)) * 100.0 / F.count("*"), 1
+        ).alias("fill_pct")
+    )
+
+
+def q_public_view(spark: SparkSession, sf: str) -> DataFrame:
+    # C6+C7+C8 combo: the public_login_info_v1 coarsening (schema.sql:2034-2035)
+    e = _t(spark, sf, "events")
+    ip = F.pmod(F.col("user_id") * F.lit(2654435761), F.lit(4294967296)).cast("long")
+    return (
+        e.select(
+            F.date_trunc("week", F.col("ts")).alias("week_ts"),
+            ip.bitwiseAND(F.lit(4294967040)).alias("net24"),
+            (F.floor(F.col("value") / 50) * 50).cast("long").alias("value_bucket"),
+        )
+        .groupBy("week_ts", "net24", "value_bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_login_info_v2(spark: SparkSession, sf: str) -> DataFrame:
+    # J2: 6-way join + min agg (login_info_v2, schema.sql:1945-1946)
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    o = _t(spark, sf, "orders")
+    l = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"], "left")
+        .groupBy("r_name", "s_name")
+        .agg(F.count("*").alias("n_items"), F.min("o_totalprice").alias("min_price"))
+    )
+
+
+def q_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
+    # A7/T5: sliding failure counter over last 20 samples (proxy-watch:25-36)
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-19, 0)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).over(w).alias("fails_in_window"),
+    )
+
+
+def q_heartbeat_liveness(spark: SparkSession, sf: str) -> DataFrame:
+    # T6: alive = heard recently (redbeat.py:28-38)
+    e = _t(spark, sf, "events")
+    return e.groupBy("user_id").agg(
+        F.max("ts").alias("last_beat"),
+        (F.max("ts") >= F.lit("2024-01-30 00:00:00").cast("timestamp")).alias("alive"),
+    )
+
+
+def q_visibility_delay(spark: SparkSession, sf: str) -> DataFrame:
+    # F7/T3: ignore_until visibility gate (handle_email.py:676-688)
+    e = _t(spark, sf, "events")
+    return (
+        e.filter(
+            (F.col("ts") <= F.lit("2024-01-15 00:00:00").cast("timestamp"))
+            & (F.col("event_type") != "error")
+        )
+        .select("event_id", "user_id", "ts")
+    )
+
+
+def q_dequeue_batch(spark: SparkSession, sf: str) -> DataFrame:
+    # O4/O6: ORDER BY ... LIMIT batch dequeue (handle_email.py:683-688)
+    e = _t(spark, sf, "events")
+    return e.orderBy(F.col("ts").desc(), F.col("event_id").desc()).limit(10).select("event_id", "user_id", "ts")
+
+
+def q_distinct_segments(spark: SparkSession, sf: str) -> DataFrame:
+    # D6: SELECT DISTINCT (force-pull-compromised:13-14)
+    return _t(spark, sf, "customer").select("c_mktsegment").distinct()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
+    "minhash_lsh_dedup": q_minhash_lsh_dedup,
+    "simhash_dedup": q_simhash_dedup,
+    "embedding_dup_pairs": q_embedding_dup_pairs,
+    "ann_topk_brute": q_ann_topk_brute,
+    "ann_topk_lsh": q_ann_topk_lsh,
+    "lang_id": q_lang_id,
+    "doc_quality": q_doc_quality,
+    "doc_fingerprint": q_doc_fingerprint,
+    "ip4_algebra": q_ip4_algebra,
+    "keyword_count": q_keyword_count,
+    "fill_pct": q_fill_pct,
+    "public_view": q_public_view,
+    "login_info_v2": q_login_info_v2,
+    "sliding_window": q_sliding_window,
+    "heartbeat_liveness": q_heartbeat_liveness,
+    "visibility_delay": q_visibility_delay,
+    "dequeue_batch": q_dequeue_batch,
+    "distinct_segments": q_distinct_segments,
     "claim_filter": q_claim_filter,
     "politeness_rank": q_politeness_rank,
     "first_last_flag": q_first_last_flag,
@@ -443,6 +716,157 @@ ORACLES: dict[str, str] = {
         GROUP BY l_returnflag, l_linestatus
     """,
 }
+
+
+_STOP = {
+    "de": "['der','die','das','und','ist','nicht','ich','du','mit','ein']",
+    "en": "['the','a','and','of','to','in','is','it','you','that']",
+    "es": "['el','los','y','es','yo','con','un','una','que','por']",
+    "fr": "['le','la','les','et','est','je','tu','avec','un','une']",
+}
+
+_LANG_HITS = ",\n".join(
+    f"CAST(len(list_filter(t, x -> list_contains({arr}, x))) AS BIGINT) AS {lang}_hits"
+    for lang, arr in _STOP.items()
+)
+
+ORACLES.update(
+    {
+        "ngram_jaccard_dedup": _JACCARD_PAIRS_SQL,
+        "minhash_lsh_dedup": _JACCARD_PAIRS_SQL,  # verified LSH == exact pairs (recall ~1-4e-14)
+        "embedding_dup_pairs": """
+            WITH aug AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+              UNION ALL
+              SELECT vec_id + 100000,
+                     list_concat(list_concat((embedding::DOUBLE[])[1:1],
+                                             [(embedding::DOUBLE[])[2] + 0.5]),
+                                 (embedding::DOUBLE[])[3:]) AS v
+              FROM embeddings WHERE vec_id % 50 = 0)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+            FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.v, b.v)
+                  / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.9
+        """,
+        "ann_topk_brute": """
+            WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 100 = 0),
+            c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings),
+            scored AS (
+              SELECT qid, cid,
+                     round(list_dot_product(qv, cv)
+                           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 9) AS cos9
+              FROM q JOIN c ON cid <> qid),
+            ranked AS (
+              SELECT qid, cid, cos9,
+                     row_number() OVER (PARTITION BY qid ORDER BY cos9 DESC, cid) AS rank
+              FROM scored)
+            SELECT qid, cid, round(cos9, 6) AS cos, CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 3
+        """,
+        "lang_id": f"""
+            WITH toks AS (
+              SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents),
+            hits AS (SELECT doc_id, lang, {_LANG_HITS} FROM toks)
+            SELECT doc_id, lang,
+                   CASE WHEN de_hits >= en_hits AND de_hits >= es_hits AND de_hits >= fr_hits AND de_hits > 0 THEN 'de'
+                        WHEN en_hits >= es_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+                        WHEN es_hits >= fr_hits AND es_hits > 0 THEN 'es'
+                        WHEN fr_hits > 0 THEN 'fr'
+                        ELSE 'und' END AS pred_lang,
+                   de_hits, en_hits, es_hits, fr_hits
+            FROM hits
+        """,
+        "doc_quality": """
+            WITH toks AS (
+              SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents),
+            feat AS (
+              SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+                     (length(trim(text)) - (len(t) - 1)) / CAST(len(t) AS DOUBLE) AS mtl,
+                     CAST(len(list_filter(t, x -> list_contains(
+                          ['the','a','and','of','to','in','is','it','you','that'], x))) AS DOUBLE)
+                       / len(t) AS sr
+              FROM toks)
+            SELECT doc_id, n_tokens, round(mtl, 6) AS mean_token_len, round(sr, 6) AS stop_ratio,
+                   (n_tokens >= 20 AND n_tokens <= 100000 AND mtl >= 2 AND mtl <= 12) AS keep
+            FROM feat
+        """,
+        "doc_fingerprint": """
+            WITH toks AS (
+              SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents),
+            vals AS (
+              SELECT doc_id, text,
+                     list_transform(t, x -> CAST(length(x) AS BIGINT) + 31 * CAST(ascii(substring(x, 1, 1)) AS BIGINT)) AS v
+              FROM toks)
+            SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp_md5,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT), v),
+                               (a, b) -> (a * 131 + b) % 1000000007) AS fp_roll
+            FROM vals
+        """,
+        "ip4_algebra": """
+            WITH ips AS (
+              SELECT c_custkey AS custkey,
+                     CAST((c_custkey * 2654435761) % 4294967296 AS BIGINT) AS ip
+              FROM customer)
+            SELECT custkey, ip, ip & 4294967040 AS net24,
+                   ((ip >> 24) & 255) || '.' || ((ip >> 16) & 255) || '.'
+                     || ((ip >> 8) & 255) || '.' || (ip & 255) AS dotted,
+                   ip BETWEEN 1073741824 AND 3221225472 AS in_range
+            FROM ips
+        """,
+        "keyword_count": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '(slow|merge|join)')) AS BIGINT) AS n_kw
+            FROM documents
+        """,
+        "fill_pct": """
+            SELECT user_id,
+                   round(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 100.0
+                         / count(*), 1) AS fill_pct
+            FROM events GROUP BY user_id
+        """,
+        "public_view": """
+            SELECT date_trunc('week', ts) AS week_ts,
+                   (CAST((user_id * 2654435761) % 4294967296 AS BIGINT) & 4294967040) AS net24,
+                   CAST(floor(value / 50) AS BIGINT) * 50 AS value_bucket,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2, 3
+        """,
+        "login_info_v2": """
+            SELECT r_name, s_name, count(*) AS n_items, min(o_totalprice) AS min_price
+            FROM lineitem
+            JOIN orders    ON l_orderkey = o_orderkey
+            JOIN customer  ON o_custkey = c_custkey
+            JOIN nation    ON c_nationkey = n_nationkey
+            JOIN region    ON n_regionkey = r_regionkey
+            LEFT JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY r_name, s_name
+        """,
+        "sliding_window": """
+            SELECT event_id, user_id,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS BIGINT) AS fails_in_window
+            FROM events
+        """,
+        "heartbeat_liveness": """
+            SELECT user_id, max(ts) AS last_beat,
+                   max(ts) >= TIMESTAMP '2024-01-30 00:00:00' AS alive
+            FROM events GROUP BY user_id
+        """,
+        "visibility_delay": """
+            SELECT event_id, user_id, ts FROM events
+            WHERE ts <= TIMESTAMP '2024-01-15 00:00:00' AND event_type <> 'error'
+        """,
+        "dequeue_batch": """
+            SELECT event_id, user_id, ts FROM events
+            ORDER BY ts DESC, event_id DESC LIMIT 10
+        """,
+        "distinct_segments": "SELECT DISTINCT c_mktsegment FROM customer",
+    }
+)
 
 
 def oracle_sql() -> dict[str, str]:

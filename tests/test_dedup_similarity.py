@@ -1,0 +1,69 @@
+"""Dedup family + similarity search: planted duplicates must be found;
+LSH paths must agree with exact baselines (SURVEY.md §5.1)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet").select(F.col("doc_id").alias("doc"), "text")
+    dups = d.filter(F.pmod("doc", F.lit(25)) == 0).select(
+        (F.col("doc") + 100000).alias("doc"), F.concat("text", F.lit(" zzz end")).alias("text")
+    )
+    return d.unionAll(dups).persist()
+
+
+def test_minhash_matches_exact(spark, docs):
+    from tripwire_spark.operators.dedup import (
+        exact_jaccard_pairs,
+        minhash_dedup_pairs,
+        shingles,
+    )
+
+    exact = {
+        (r.doc_a, r.doc_b) for r in exact_jaccard_pairs(shingles(docs, "doc", "text"), 0.8).collect()
+    }
+    lsh = {(r.doc_a, r.doc_b) for r in minhash_dedup_pairs(docs, "doc", "text").collect()}
+    planted = {r[0] for r in docs.filter(F.col("doc") >= 100000).select("doc").collect()}
+    # every planted near-dup pair is recovered by BOTH paths
+    for d in planted:
+        assert (d - 100000, d) in exact
+    assert lsh == exact  # verified-LSH equals the exact pair set
+
+
+def test_simhash_finds_planted(spark, docs):
+    from tripwire_spark.operators.dedup import simhash, simhash_pairs
+
+    pairs = {(r.doc_a, r.doc_b) for r in simhash_pairs(simhash(docs, "doc", "text"), 3).collect()}
+    planted = {r[0] for r in docs.filter(F.col("doc") >= 100000).select("doc").collect()}
+    found = sum((d - 100000, d) in pairs for d in planted)
+    # A 2-token append on a ~150-token doc flips ~3-8 of 64 bits
+    # (vote margins are tight), so simhash recall here is ~0.7 — it is
+    # the coarse/fast tier; minhash is the high-recall tier (test above
+    # asserts recall 1.0 there).
+    assert found >= 0.6 * len(planted)
+
+
+def test_ann_lsh_recall(spark):
+    from tripwire_spark.operators.similarity import brute_topk, signlsh_topk
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = e.filter(F.pmod("vec_id", F.lit(100)) == 0)
+    brute = {(r.qid, r.cid) for r in brute_topk(e, q, k=3).collect()}
+    ann = {(r.qid, r.cid) for r in signlsh_topk(e, q, k=3).collect()}
+    assert len(brute) > 0
+    assert len(ann & brute) / len(brute) >= 0.6  # 16-bit LSH recall floor
+
+
+def test_exact_jaccard_symmetric_threshold(spark, docs):
+    from tripwire_spark.operators.dedup import exact_jaccard_pairs, shingles
+
+    pairs = exact_jaccard_pairs(shingles(docs, "doc", "text"), 0.8)
+    rows = pairs.collect()
+    assert all(r.doc_a < r.doc_b for r in rows)
+    assert all(0.8 <= r.jaccard <= 1.0 for r in rows)

@@ -1,0 +1,205 @@
+"""Deduplication family for web-scale corpora: exact, n-gram Jaccard,
+MinHash+LSH, SimHash, embedding-cosine near-dup.
+
+Everything below is pure DataFrame algebra (explode / groupBy / join /
+bit ops) — no Python in the row path.  Scale notes per operator:
+
+- exact:       one hash-groupBy; content hash is computed in the scan
+               projection so the shuffle carries 16 bytes, not bodies.
+- ngram exact: shingle self-join — quadratic in the worst case; used
+               as the *verifier* behind LSH candidates, never alone at
+               scale.
+- minhash+lsh: signature = K min-hashes from ONE shingle pass (K
+               aggregates, one shuffle); banding turns all-pairs into
+               |bucket|-local joins.  Band width/count chosen for
+               recall ~1 at the target threshold.
+- simhash:     64-bit sign-vote fingerprint; candidate pairs via the
+               4x16-bit pigeonhole chunk join (hamming<=3 implies an
+               identical chunk), then exact bit_count verify.
+- embedding:   cosine >= tau pairs; brute force is the correctness
+               baseline, sign-LSH bucketing is the scale path
+               (similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+# --- shingling -----------------------------------------------------------
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document (pure exprs)."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return (
+        df.select(F.col(id_col).alias("doc"), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def exact_jaccard_pairs(sh: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """All document pairs with shingle-set Jaccard >= threshold.
+
+    sh: output of ``shingles``.  Returns (doc_a, doc_b, jaccard).
+    """
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a")
+        .join(sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# --- MinHash + LSH -------------------------------------------------------
+
+
+def minhash_signatures(sh: DataFrame, k: int = 64) -> DataFrame:
+    """K min-hash values per doc from one grouped pass.
+
+    Permutation i is xxhash64(shingle, i) — deterministic, JVM-side.
+    Returns (doc, sig array<long>).
+    """
+    aggs = [F.min(F.xxhash64("shingle", F.lit(i))).alias(f"m{i}") for i in range(k)]
+    g = sh.groupBy("doc").agg(*aggs)
+    return g.select("doc", F.array(*[F.col(f"m{i}") for i in range(k)]).alias("sig"))
+
+
+def lsh_candidates(sigs: DataFrame, bands: int = 32, rows: int = 2) -> DataFrame:
+    """Banded LSH: docs sharing any band bucket become candidate pairs.
+
+    P(candidate | jaccard j) = 1 - (1 - j^rows)^bands; at (32,2) a
+    j=0.8 pair is missed with p ~ 4e-14.
+    """
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.col("sig")[b * rows + r] for r in range(rows)]).alias("bkey"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sigs.select("doc", F.explode(band_structs).alias("bb")).select(
+        "doc", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
+    )
+    a = buckets.select(F.col("doc").alias("doc_a"), "band", "bkey")
+    b = buckets.select(F.col("doc").alias("doc_b"), "band", "bkey")
+    return (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 64,
+    bands: int = 32,
+    rows: int = 2,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full pipeline: shingle -> minhash -> band join -> EXACT verify.
+
+    Output pairs carry exact Jaccard (candidates are verified, so false
+    positives from banding never escape; recall is 1-(1-t^r)^b).
+    """
+    sh = shingles(df, id_col, text_col, n)
+    cands = lsh_candidates(minhash_signatures(sh, k), bands, rows)
+    exact = exact_jaccard_pairs(sh, threshold)
+    # verify = semi join exact pairs against candidates
+    return exact.join(cands, ["doc_a", "doc_b"], "left_semi")
+
+
+# --- SimHash -------------------------------------------------------------
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per doc: bit i = sign of token votes on bit i of
+    xxhash64(token).  One explode + one grouped agg (64 sums)."""
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = toks.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(64)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for i in range(64):
+        sig = sig + F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long") * (1 << i) if i < 63 else F.lit(-(1 << 63))).otherwise(
+            F.lit(0).cast("long")
+        )
+    return votes.select("doc", sig.alias("simhash"))
+
+
+def simhash_pairs(sim: DataFrame, max_hamming: int = 7) -> DataFrame:
+    """Near-dup pairs by hamming distance via the pigeonhole chunk join:
+    hamming <= 7 over 64 bits => at least one of the 8 8-bit chunks is
+    identical, so candidates come from 8 equi-joins, never all-pairs."""
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftrightunsigned(F.col("simhash"), c * 8).bitwiseAND(F.lit(0xFF)).alias("ckey"),
+            )
+            for c in range(8)
+        ]
+    )
+    b = sim.select("doc", "simhash", F.explode(chunks).alias("cc")).select(
+        "doc", "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.ckey").alias("ckey")
+    )
+    lhs = b.select(F.col("doc").alias("doc_a"), F.col("simhash").alias("sh_a"), "chunk", "ckey")
+    rhs = b.select(F.col("doc").alias("doc_b"), F.col("simhash").alias("sh_b"), "chunk", "ckey")
+    return (
+        lhs.join(rhs, ["chunk", "ckey"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# --- embedding cosine near-dup -------------------------------------------
+
+
+def cosine(a, b):  # Column helper
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
+    return dot / (na * nb)
+
+
+def embedding_dup_pairs(emb: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95) -> DataFrame:
+    """All-pairs cosine >= threshold (correctness baseline; the scale
+    path buckets by sign-LSH first — similarity.py)."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    )

@@ -1,0 +1,94 @@
+"""Text analytics for training-data pipelines: language ID, quality
+scoring, token stats, document fingerprinting.
+
+All operators are pure Spark column expressions (JVM-side, codegen'd,
+no UDFs) so they run at 100 TB scan speed and have exact ANSI-SQL
+oracle twins.  The reference's nearest analog is the ``lang_class``
+enum + page-text keyword analytics (schema.sql:241-247,
+submitcheck.js:6-14 keyword counting); the rest follows standard
+web-corpus curation practice (Gopher-style length/stopword gates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny deterministic stopword sets (top function words per language).
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it", "you", "that"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ich", "du", "mit", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "je", "tu", "avec", "un", "une"],
+    "es": ["el", "los", "y", "es", "yo", "con", "un", "una", "que", "por"],
+}
+
+ROLLING_MOD = 1_000_000_007
+ROLLING_MULT = 131
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (lowercased)."""
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def stopword_hits(toks: Column, lang: str) -> Column:
+    """# tokens that are stopwords of ``lang`` (size of filtered array)."""
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).cast("long")
+
+
+def lang_scores(toks: Column) -> list[tuple[str, Column]]:
+    return [(lang, stopword_hits(toks, lang)) for lang in sorted(STOPWORDS)]
+
+
+def lang_id(toks: Column) -> Column:
+    """argmax stopword hits; ties broken by language code order; 'und'
+    (undetermined) when no stopword matched at all."""
+    scores = lang_scores(toks)
+    best_lang = F.lit("und")
+    best_score = F.lit(0).cast("long")
+    # iterate in REVERSE code order so earlier codes win ties with >=
+    for lang, s in reversed(scores):
+        cond = s > best_score
+        tie = (s == best_score) & (s > 0) & (F.lit(True))
+        best_lang = F.when(cond | tie, F.lit(lang)).otherwise(best_lang)
+        best_score = F.greatest(best_score, s)
+    return best_lang
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Gopher-style quality gates, all SQL-expressible."""
+    toks = tokens(text)
+    n_tokens = F.size(toks).cast("long")
+    n_chars = F.length(F.trim(text)).cast("long")
+    mean_token_len = ((n_chars - (n_tokens - 1)).cast("double") / n_tokens)
+    stop_ratio = stopword_hits(toks, "en").cast("double") / n_tokens
+    return {
+        "n_tokens": n_tokens,
+        "mean_token_len": mean_token_len,
+        "stop_ratio": stop_ratio,
+        "keep": (n_tokens >= 20) & (n_tokens <= 100000) & (mean_token_len >= 2) & (mean_token_len <= 12),
+    }
+
+
+def fingerprint_md5(text: Column) -> Column:
+    """Content fingerprint: md5 of whitespace-normalized lowercased text."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ").cast("binary"))
+
+
+def token_value(tok: Column) -> Column:
+    """Deterministic cross-engine token value (no engine hash):
+    len(tok) + 31 * ascii(first char)."""
+    return F.length(tok).cast("long") + 31 * F.ascii(F.substring(tok, 1, 1)).cast("long")
+
+
+def rolling_fingerprint(text: Column) -> Column:
+    """Polynomial rolling hash over tokens: fold h = (h*131 + v) % M.
+    Order-sensitive (a permuted document fingerprints differently),
+    unlike the md5-of-normalized-text variant."""
+    toks = tokens(text)
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * ROLLING_MULT + token_value(t)) % ROLLING_MOD,
+    )
