@@ -1,0 +1,64 @@
+"""Bloom seen-set properties: zero false negatives, FP rate within
+bound, filter_unseen exactness (SURVEY.md §5.4)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+
+def _urls(spark, start, n):
+    return spark.range(start, start + n).select(
+        F.format_string("http://h%d.test/p%d", F.pmod("id", F.lit(97)), F.col("id")).alias("url"),
+        F.xxhash64(F.format_string("http://h%d.test/p%d", F.pmod("id", F.lit(97)), F.col("id"))).alias(
+            "url_hash"
+        ),
+    )
+
+
+def test_bloom_no_false_negatives(spark):
+    from tripwire_spark.operators.seen import BloomSeenSet
+
+    bloom = BloomSeenSet(n_buckets=8, bits_per_key=10)
+    seen = _urls(spark, 0, 5000)
+    sketch = bloom.build(seen).persist()
+    flagged = bloom.probe(seen, sketch).persist()
+    assert flagged.filter(F.col("maybe_seen").isNull()).count() == 0  # every row flagged
+    assert flagged.filter(~F.col("maybe_seen")).count() == 0  # NEVER miss a seen url
+
+
+def test_bloom_fp_rate(spark):
+    from tripwire_spark.operators.seen import BloomSeenSet
+
+    bloom = BloomSeenSet(n_buckets=8, bits_per_key=10)
+    sketch = bloom.build(_urls(spark, 0, 5000)).persist()
+    unseen = _urls(spark, 1_000_000, 5000)
+    fp = bloom.probe(unseen, sketch).filter(F.col("maybe_seen")).count()
+    assert fp / 5000 < 0.03  # theoretical ~1% at 10 bits/key; 3x slack
+
+
+def test_filter_unseen_exact(spark):
+    from tripwire_spark.operators.seen import BloomSeenSet, filter_unseen
+
+    bloom = BloomSeenSet(n_buckets=8, bits_per_key=10)
+    seen = _urls(spark, 0, 3000).persist()
+    sketch = bloom.build(seen).persist()
+    # candidates: half overlap the seen set, half are new
+    cands = _urls(spark, 1500, 3000)
+    out = filter_unseen(cands, seen, sketch, bloom)
+    got = sorted(r.url for r in out.collect())
+    want = sorted(r.url for r in _urls(spark, 3000, 1500).collect())
+    assert got == want  # bloom+backstop == exact anti-join result
+
+
+def test_sketch_snapshot_roundtrip(spark, tmp_path):
+    from tripwire_spark.operators.seen import BloomSeenSet
+    from tripwire_spark.sources.snapshots import SnapshotTable
+
+    bloom = BloomSeenSet(n_buckets=4, bits_per_key=10)
+    sk = bloom.build(_urls(spark, 0, 1000))
+    t = SnapshotTable(spark, str(tmp_path), "seen_sketch")
+    t.commit(sk, {"round": 1})
+    restored = t.read()
+    flagged = bloom.probe(_urls(spark, 0, 1000), restored).persist()
+    assert flagged.filter(F.col("maybe_seen").isNull()).count() == 0
+    assert flagged.filter(~F.col("maybe_seen")).count() == 0

@@ -127,6 +127,8 @@ def discover(
     round_no: int,
     vid: int = 1,
     queue: str = "default",
+    bloom=None,
+    sketch: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Score, filter, canonicalize, dedup, and anti-join new links.
 
@@ -154,8 +156,22 @@ def discover(
     # In-round dedup: keep the best (first by discovery order) occurrence.
     w = Window.partitionBy("curl").orderBy(F.col("weight").desc(), "parent_qid", "pos")
     deduped = kept.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
-    # Exact seen-set anti-join (Bloom pre-filter slots in front at scale).
-    fresh = deduped.join(seen.select(F.col("url").alias("curl")), "curl", "left_anti")
+    # Seen filter: partitioned-bloom pre-filter (when provided) with the
+    # exact anti-join backstop — the seen SET stays exact either way.
+    if bloom is not None and sketch is not None:
+        from tripwire_spark.operators.seen import filter_unseen
+
+        cands = deduped.withColumn("url_hash", url_hash("curl"))
+        fresh = filter_unseen(
+            cands,
+            seen.select(F.col("url").alias("curl")),
+            sketch,
+            bloom,
+            hash_col="url_hash",
+            url_col="curl",
+        ).drop("url_hash")
+    else:
+        fresh = deduped.join(seen.select(F.col("url").alias("curl")), "curl", "left_anti")
     # Deterministic qid assignment above all earlier qids; best-first
     # order = ascending (-weight, parent_qid, pos).
     with_ids = assign_dense_ids(
@@ -205,6 +221,8 @@ def run_crawl(
     checkpoint_dir: str | None = None,
     resume: bool = False,
     vid: int = 1,
+    use_bloom: bool = True,
+    bloom_buckets: int = 64,
 ) -> CrawlState:
     """The full crawl loop; one snapshot commit per round when
     ``checkpoint_dir`` is given; ``resume=True`` continues from the
@@ -252,8 +270,16 @@ def run_crawl(
 
         fetched, hits = fetch_pages(claimed, pages)
         round_results, links = extract_round(fetched)
-        seen = state.frontier.select("url")
-        new_rows, link_decisions = discover(links, seen, patterns, round_no=r, vid=vid)
+        seen = state.frontier.select("url", "url_hash")
+        bloom = sketch = None
+        if use_bloom:
+            from tripwire_spark.operators.seen import BloomSeenSet
+
+            bloom = BloomSeenSet(n_buckets=bloom_buckets)
+            sketch = bloom.build(seen, "url_hash").persist()
+        new_rows, link_decisions = discover(
+            links, seen, patterns, round_no=r, vid=vid, bloom=bloom, sketch=sketch
+        )
 
         log = fetched.select(
             "qid",
@@ -301,5 +327,7 @@ def run_crawl(
 
         hits.unpersist()
         claimed.unpersist()
+        if sketch is not None:
+            sketch.unpersist()
 
     return state
