@@ -552,7 +552,65 @@ def q_distinct_segments(spark: SparkSession, sf: str) -> DataFrame:
     return _t(spark, sf, "customer").select("c_mktsegment").distinct()
 
 
+# ---------------------------------------------------------------------------
+# batch 3: mail pipeline (C10-C14, W5, F9, D1 — SURVEY.md §3.3)
+
+
+def _synth_emails(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic emails from orders: the body plants one good
+    confirmation URL, a blacklisted-domain URL, an image URL (regex-
+    excluded), a too-short URL, and (o%3==0) a repeat of the good URL."""
+    o = _t(spark, sf, "orders").filter(F.pmod(F.col("o_orderkey"), F.lit(10)) < 3)
+    c, k = F.col("o_custkey"), F.col("o_orderkey")
+    good = F.concat(F.lit("https://shop"), c, F.lit(".example.com/confirm/account/"), k, F.lit("xyz"))
+    subject = (
+        F.when(F.pmod(k, F.lit(5)) == 0, F.lit("Please confirm your account"))
+        .when(F.pmod(k, F.lit(5)) == 1, F.lit("Welcome aboard"))
+        .when(F.pmod(k, F.lit(5)) == 2, F.lit("Invoice attached"))
+        .when(F.pmod(k, F.lit(5)) == 3, F.lit("Activate your profile"))
+        .otherwise(F.lit("Random newsletter"))
+    )
+    body = F.concat(
+        F.lit("Visit "), good, F.lit(" now or "),
+        F.lit("https://www.google.com/confirm/account/"), k, F.lit("xyzzz "),
+        F.lit("img http://img"), c, F.lit(".example.com/banner/image123.png "),
+        F.lit("short https://s"), c, F.lit(".example.com/a "),
+        F.when(F.pmod(k, F.lit(3)) == 0, F.concat(F.lit("again "), good, F.lit(" "))).otherwise(F.lit("")),
+    )
+    return o.select(k.alias("umid"), subject.alias("subject"), body.alias("body"))
+
+
+def q_mail_best_url(spark: SparkSession, sf: str) -> DataFrame:
+    # Full mail dataflow: subject filter (F9) -> URL_PATTERN extraction
+    # (C10) -> exact C11 scoring -> repeat bonus (D1) -> top-1 (W5)
+    from tripwire_spark.operators.mail_pipeline import best_confirmation_urls
+
+    return best_confirmation_urls(_synth_emails(spark, sf))
+
+
+def q_mail_parse(spark: SparkSession, sf: str) -> DataFrame:
+    # C12 subject decode + C14 to-address precedence/unwrap
+    from tripwire_spark.functions.mail import decode_subject, extract_to
+
+    o = _t(spark, sf, "orders").filter(F.pmod(F.col("o_orderkey"), F.lit(10)) < 2)
+    c, k = F.col("o_custkey"), F.col("o_orderkey")
+    raw_headers = F.when(
+        F.pmod(k, F.lit(2)) == 0,
+        F.concat(F.lit("To: Order Alerts <alerts"), c, F.lit("@mail.test>\n\n")),
+    ).otherwise(F.concat(F.lit("To: user"), c, F.lit("@mail.test\n\n")))
+    subject = F.when(F.pmod(k, F.lit(2)) == 0, F.lit("=?utf-8?q?Please_confirm_now?=")).otherwise(
+        F.lit("Welcome aboard")
+    )
+    return o.select(
+        k.alias("umid"),
+        extract_to(raw_headers).alias("to_addr"),
+        decode_subject(subject).alias("subject_decoded"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "mail_best_url": q_mail_best_url,
+    "mail_parse": q_mail_parse,
     "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
     "simhash_dedup": q_simhash_dedup,
@@ -732,6 +790,26 @@ _LANG_HITS = ",\n".join(
 
 ORACLES.update(
     {
+        # Analytic oracle: the expected winner and its exact C11 weight,
+        # derived independently from the planted-body construction.
+        "mail_best_url": """
+            SELECT o_orderkey AS umid,
+                   'https://shop' || o_custkey || '.example.com/confirm/account/'
+                     || o_orderkey || 'xyz' AS url,
+                   CAST(least(greatest(length('confirm/account/' || o_orderkey || 'xyz') - 20, 0), 60)
+                        + 200 + 30
+                        + CASE WHEN o_orderkey % 3 = 0 THEN 20 ELSE 0 END AS DOUBLE) AS weight
+            FROM orders
+            WHERE o_orderkey % 10 < 3 AND o_orderkey % 5 IN (0, 1, 3)
+        """,
+        "mail_parse": """
+            SELECT o_orderkey AS umid,
+                   CASE WHEN o_orderkey % 2 = 0 THEN 'alerts' || o_custkey || '@mail.test'
+                        ELSE 'user' || o_custkey || '@mail.test' END AS to_addr,
+                   CASE WHEN o_orderkey % 2 = 0 THEN 'Please confirm now'
+                        ELSE 'Welcome aboard' END AS subject_decoded
+            FROM orders WHERE o_orderkey % 10 < 2
+        """,
         "ngram_jaccard_dedup": _JACCARD_PAIRS_SQL,
         "minhash_lsh_dedup": _JACCARD_PAIRS_SQL,  # verified LSH == exact pairs (recall ~1-4e-14)
         "embedding_dup_pairs": """

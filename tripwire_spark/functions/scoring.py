@@ -178,15 +178,18 @@ def form_score(
     return score
 
 
-def email_url_weight(url_col: Column, path_col: Column) -> Column:
-    """C11: base path-length ramp + keyword bonuses + blacklist poison."""
+def email_url_weight(domain_col: Column, path_col: Column) -> Column:
+    """C11 (handle_email.py:373-411), exact accumulation order:
+    base = min(max(len(path)-20,0),60); -100000 if len(path)<9; -100000
+    per DOMAIN-blacklist match (searched on the domain, not the url);
+    each bonus regex searched on the PATH."""
     path_len = F.coalesce(F.length(path_col), F.lit(0))
     w = F.least(F.greatest(path_len - PATH_OFFSET, F.lit(0)), F.lit(MAX_PATH_BONUS)).cast("double")
+    w = w + F.when(path_len < MIN_PATH_LENGTH, F.lit(-100000.0)).otherwise(F.lit(0.0))
+    for pat in EMAIL_DOMAIN_BLACKLIST:
+        w = w + F.when(domain_col.rlike(_ci(pat)), F.lit(-100000.0)).otherwise(F.lit(0.0))
     for pat, bonus in EMAIL_URL_BONUSES:
-        w = w + F.when(url_col.rlike(_ci(pat)), F.lit(bonus)).otherwise(F.lit(0))
-    blk = "|".join(EMAIL_DOMAIN_BLACKLIST)
-    w = F.when(url_col.rlike(_ci(blk)), F.lit(-100000.0)).otherwise(w)
-    w = F.when(path_len < MIN_PATH_LENGTH, F.lit(-100000.0)).otherwise(w)
+        w = w + F.when(path_col.rlike(_ci(pat)), F.lit(bonus).cast("double")).otherwise(F.lit(0.0))
     return w
 
 
