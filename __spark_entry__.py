@@ -608,7 +608,62 @@ def q_mail_parse(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_link_scoring(spark: SparkSession, sf: str) -> DataFrame:
+    # C18 link weights + D3 pairwise reweight fold
+    # (pagefinder/expressions.js:3-17, pagefinder.js:79-93)
+    from tripwire_spark.functions.scoring import link_weight
+
+    o = _t(spark, sf, "orders")
+    texts = [
+        "Sign up",            # sign[ -]*up 6
+        "Register here",      # regist 5
+        "create an account",  # account 3.5 then create.*account 11 -> max+1 = 12
+        "Login",              # log *in 3
+        "next page",          # no match -> NULL
+        "Join the forum",     # join[^t] 4 then forum 2 -> max+1 = 5
+        "Visit facebook page",  # facebook -8
+        "facebook account",   # account 3.5 then facebook -8 -> negative wins
+    ]
+    t = F.element_at(F.array(*[F.lit(x) for x in texts]), (F.pmod(F.col("o_orderkey"), F.lit(8)) + 1).cast("int"))
+    return o.select(
+        F.col("o_orderkey").alias("umid"), t.alias("anchor_text"), link_weight(t).alias("weight")
+    )
+
+
+def q_form_discovery(spark: SparkSession, sf: str) -> DataFrame:
+    # C17 form scoring + W4 top-1 + isRegPage threshold over REAL fixture
+    # HTML (synth_pages embeds the signup form on p%7==3 pages)
+    from tripwire_spark.functions.html import extract_forms
+    from tripwire_spark.functions.scoring import MIN_FORM_SCORE, form_score
+    from tripwire_spark.sources.synth import synth_pages
+
+    c = _t(spark, sf, "customer")
+    keys = c.select(
+        F.pmod(F.col("c_custkey"), F.lit(40)).alias("h"), F.pmod(F.col("c_custkey"), F.lit(8)).alias("p")
+    ).distinct()
+    pages = synth_pages(spark, n_hosts=40, n_pages=8, n_links=3)
+    sel = keys.select(F.format_string("http://site%04d.test/p%d", "h", "p").alias("url")).join(
+        pages, "url"
+    )
+    forms = sel.select("url", F.explode(extract_forms("html")).alias("f"))
+    scored = forms.select(
+        "url",
+        form_score(
+            F.col("f.action"), F.col("f.form_id"), F.col("f.name"),
+            F.col("f.buttons"), F.col("f.n_password"), F.col("f.n_visible"),
+        ).alias("score"),
+    )
+    w = Window.partitionBy("url").orderBy(F.col("score").desc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("url", "score", (F.col("score") >= MIN_FORM_SCORE).alias("is_reg_page"))
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "link_scoring": q_link_scoring,
+    "form_discovery": q_form_discovery,
     "mail_best_url": q_mail_best_url,
     "mail_parse": q_mail_parse,
     "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
@@ -790,8 +845,36 @@ _LANG_HITS = ",\n".join(
 
 ORACLES.update(
     {
-        # Analytic oracle: the expected winner and its exact C11 weight,
-        # derived independently from the planted-body construction.
+        # Analytic oracles: expected outputs derived independently from
+        # the planted constructions (weights traced by hand from the
+        # reference's expression tables).
+        "link_scoring": """
+            SELECT o_orderkey AS umid,
+                   t AS anchor_text,
+                   CASE t WHEN 'Sign up' THEN 6.0
+                          WHEN 'Register here' THEN 5.0
+                          WHEN 'create an account' THEN 12.0
+                          WHEN 'Login' THEN 3.0
+                          WHEN 'next page' THEN NULL
+                          WHEN 'Join the forum' THEN 5.0
+                          WHEN 'Visit facebook page' THEN -8.0
+                          WHEN 'facebook account' THEN -8.0 END AS weight
+            FROM (SELECT o_orderkey,
+                         (['Sign up','Register here','create an account','Login',
+                           'next page','Join the forum','Visit facebook page',
+                           'facebook account'])[(o_orderkey % 8) + 1] AS t
+                  FROM orders)
+        """,
+        # Fixture form: action=/register(+6) id=signup(sign.*up +3),
+        # button name=register(+4), 1 password(+0), -3 + max(3,5)=+2 -> 15
+        "form_discovery": """
+            SELECT DISTINCT
+                   'http://site' || lpad(CAST(c_custkey % 40 AS VARCHAR), 4, '0')
+                     || '.test/p' || (c_custkey % 8) AS url,
+                   15.0 AS score,
+                   TRUE AS is_reg_page
+            FROM customer WHERE (c_custkey % 8) % 7 = 3
+        """,
         "mail_best_url": """
             SELECT o_orderkey AS umid,
                    'https://shop' || o_custkey || '.example.com/confirm/account/'

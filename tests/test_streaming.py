@@ -1,0 +1,85 @@
+"""Structured Streaming smoke tests: the streaming paths of T5/T6 run
+end-to-end against a memory sink and agree with their batch twins."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _events_stream(spark, tmp_path):
+    """Stage the events file into a directory (streaming source needs one)."""
+    import shutil
+
+    src = tmp_path / "stream_src"
+    src.mkdir(exist_ok=True)
+    shutil.copy(f"{SF}/events.parquet", src / "events.parquet")
+    batch = spark.read.parquet(f"{SF}/events.parquet")
+    return spark.readStream.schema(batch.schema).parquet(str(src)), batch
+
+
+def test_sliding_monitor_stream_matches_batch(spark, tmp_path):
+    from tripwire_spark.streaming.monitor import sliding_failure_counts
+
+    stream, batch = _events_stream(spark, tmp_path)
+
+    agg = sliding_failure_counts(stream, window="1 hour", slide="30 minutes")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("t5out")
+        .option("checkpointLocation", str(tmp_path / "ck5"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.win.start, r.win.end): (r.n_failures, r.n_samples)
+        for r in spark.sql("SELECT * FROM t5out").collect()
+    }
+    want = {
+        (r.win.start, r.win.end): (r.n_failures, r.n_samples)
+        for r in sliding_failure_counts(batch, window="1 hour", slide="30 minutes").collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_heartbeat_stream_runs(spark, tmp_path):
+    from tripwire_spark.streaming.monitor import heartbeat_liveness
+
+    stream, batch = _events_stream(spark, tmp_path)
+    agg = heartbeat_liveness(stream)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("t6out")
+        .option("checkpointLocation", str(tmp_path / "ck6"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {r.user_id: r.last_beat for r in spark.sql("SELECT * FROM t6out").collect()}
+    want = {r.user_id: r.last_beat for r in heartbeat_liveness(batch).collect()}
+    assert got == want and len(want) > 0
+
+
+def test_visibility_retry_cycle(spark):
+    from tripwire_spark.streaming.monitor import dequeue_visible, requeue
+
+    now = F.lit("2024-01-10 00:00:00").cast("timestamp")
+    q0 = spark.range(20).select(
+        F.col("id").alias("umid"),
+        (F.lit("2024-01-09 23:59:00").cast("timestamp") + F.expr("make_interval(0,0,0,0,0,0,id)")).alias(
+            "ignore_until"
+        ),
+        F.lit(0).alias("process_attempt"),
+        (F.col("id") % 7 == 0).alias("disabled"),
+    )
+    batch = dequeue_visible(q0, now)
+    rows = batch.collect()
+    assert 0 < len(rows) <= 10
+    assert all(not r.disabled and r.ignore_until is not None for r in rows)
+    re = requeue(batch, now).collect()
+    assert all(r.process_attempt == 1 for r in re)
+    assert all(str(r.ignore_until) == "2024-01-10 00:01:00" for r in re)

@@ -70,14 +70,16 @@ class _TextAndLinks(HTMLParser):
             if typ not in ("hidden",):
                 self._cur_form["n_visible"] += 1
             if typ in ("submit", "button"):
+                # scored attrs are name/id/value/class ONLY
+                # (formfinder.js:75 cliGetButtonScore) — never text
                 self._cur_form["buttons"].append(
-                    " ".join(x for x in (a.get("name"), a.get("id"), a.get("value")) if x)
+                    " ".join(x for x in (a.get("name"), a.get("id"), a.get("value"), a.get("class")) if x)
                 )
         elif tag == "button":
             self._cur_button = []
             if self._cur_form is not None:
                 self._cur_form["buttons"].append(
-                    " ".join(x for x in (a.get("name"), a.get("id"), a.get("value")) if x)
+                    " ".join(x for x in (a.get("name"), a.get("id"), a.get("value"), a.get("class")) if x)
                 )
 
     def handle_endtag(self, tag):
@@ -93,13 +95,7 @@ class _TextAndLinks(HTMLParser):
             self.forms.append(self._cur_form)
             self._cur_form = None
         elif tag == "button" and self._cur_button is not None:
-            txt = _WS.sub(" ", " ".join(self._cur_button)).strip()
-            if self._cur_form is not None and txt:
-                if self._cur_form["buttons"] and not self._cur_form["buttons"][-1]:
-                    self._cur_form["buttons"][-1] = txt
-                else:
-                    self._cur_form["buttons"].append(txt)
-            self._cur_button = None
+            self._cur_button = None  # button text is visible text, not a scored attr
 
     def handle_data(self, data):
         if not data:

@@ -1,0 +1,124 @@
+"""Service-loop semantics as Structured Streaming + batch twins.
+
+Reference parity:
+- T5 sliding-window health monitor: proxy-watch samples every 5 s over
+  a window of 20 (proxy-watch/proxy-watch:22-36); consumer gates jobs
+  on the summary (run_queue_nowrap:219-231).  Streaming: windowed
+  count; batch twin: window-frame rowsBetween(-19, 0).
+- T6 heartbeat liveness: alive = heard within 10 s
+  (redbeat/redbeat.py:28-38, timeout :52-54).  Streaming: watermarked
+  max(ts) per name; batch twin: max(ts) vs cutoff.
+- T3 visibility-delay retry: ignore_until = now + 60 s, attempt bump on
+  requeue (handle_email.py:34,657-716).  Implemented as an event-time
+  gate usable per micro-batch (foreachBatch) or per crawl round.
+
+Every streaming query here also has a pure-batch twin with identical
+semantics — the batch twins are what the DuckDB oracle checks
+(sliding_window / heartbeat_liveness / visibility_delay queries in
+__spark_entry__), and the streaming paths are smoke-tested end-to-end
+with a memory sink in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+# --- T5: sliding failure monitor ------------------------------------------
+
+
+def sliding_failure_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    fail_predicate=None,
+    window: str = "100 seconds",
+    slide: str = "5 seconds",
+    watermark: str = "2 minutes",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Streaming twin of the 20-sample @5s deque: failures per sliding
+    window.  Works on both streaming and batch DataFrames."""
+    fail = fail_predicate if fail_predicate is not None else (F.col("event_type") == "error")
+    # Event-time ops need TIMESTAMP (LTZ); parquet often yields NTZ.
+    stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    src = stream.withWatermark(ts_col, watermark) if stream.isStreaming else stream
+    keys = [F.window(F.col(ts_col), window, slide).alias("win")]
+    if group_col:
+        keys.append(F.col(group_col))
+    return src.groupBy(*keys).agg(
+        F.sum(F.when(fail, 1).otherwise(0)).cast("long").alias("n_failures"),
+        F.count("*").alias("n_samples"),
+    )
+
+
+def gate_from_summary(summary: DataFrame, max_failures: int = 10) -> DataFrame:
+    """The consumer's go/no-go gate (run_queue_nowrap:219-231): a window
+    is 'bad' when failures exceed the threshold."""
+    return summary.withColumn("healthy", F.col("n_failures") <= max_failures)
+
+
+# --- T6: heartbeat liveness -------------------------------------------------
+
+
+def heartbeat_liveness(
+    beats: DataFrame,
+    name_col: str = "user_id",
+    ts_col: str = "ts",
+    timeout: str = "10 seconds",
+    watermark: str = "1 minute",
+) -> DataFrame:
+    """alive = last beat within ``timeout`` of the stream's frontier.
+
+    Streaming: per-name max(ts) in update mode; the liveness cutoff is
+    evaluated against the watermark frontier downstream.  Batch: max(ts)
+    vs (global max(ts) - timeout).
+    """
+    beats = beats.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if beats.isStreaming:
+        return (
+            beats.withWatermark(ts_col, watermark)
+            .groupBy(name_col)
+            .agg(F.max(ts_col).alias("last_beat"))
+        )
+    frontier = beats.agg(F.max(ts_col).alias("m")).select(
+        (F.col("m") - F.expr(f"INTERVAL {timeout}")).alias("cutoff")
+    )
+    return (
+        beats.groupBy(name_col)
+        .agg(F.max(ts_col).alias("last_beat"))
+        .crossJoin(F.broadcast(frontier))
+        .withColumn("alive", F.col("last_beat") >= F.col("cutoff"))
+        .drop("cutoff")
+    )
+
+
+# --- T3: visibility-delay retry queue ---------------------------------------
+
+VISIBILITY_DELAY = "60 seconds"  # handle_email.py:34
+DEQUEUE_LIMIT = 10  # handle_email.py:157
+
+
+def dequeue_visible(
+    queue: DataFrame,
+    now,
+    limit: int = DEQUEUE_LIMIT,
+    attempt_col: str = "process_attempt",
+    max_attempts: int = 5,
+) -> DataFrame:
+    """One dequeue batch: visible, not disabled, under the attempt cap,
+    ORDER BY ignore_until DESC LIMIT n (handle_email.py:676-688)."""
+    vis = queue.filter(
+        (F.col("ignore_until") <= now)
+        & (~F.col("disabled"))
+        & (F.col(attempt_col) < max_attempts)
+    )
+    return vis.orderBy(F.col("ignore_until").desc(), F.col("umid").desc()).limit(limit)
+
+
+def requeue(batch: DataFrame, now, delay: str = VISIBILITY_DELAY) -> DataFrame:
+    """Failed handling -> bump attempt, push visibility out by the delay
+    (handle_email.py:657-672)."""
+    return batch.withColumn("process_attempt", F.col("process_attempt") + 1).withColumn(
+        "ignore_until", now + F.expr(f"INTERVAL {delay}")
+    )
