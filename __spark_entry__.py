@@ -661,7 +661,74 @@ def q_form_discovery(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_ADJS = ["Quick", "Calm", "Brave", "Sly", "Merry", "Stout", "Keen", "Wry"]
+_NOUNS = ["Otter", "Falcon", "Maple", "Comet", "Harbor", "Pebble", "Willow", "Drift"]
+
+
+def q_credentials(spark: SparkSession, sf: str) -> DataFrame:
+    # C23: deterministic AdjNoun%02d%02d usernames (mkusername.py:67-114)
+    # with hash-free arithmetic selection so both engines agree; md5 of
+    # the username mirrors the reference's md5 utility.
+    c = _t(spark, sf, "customer")
+    k = F.col("c_custkey")
+    adj = F.element_at(F.array(*[F.lit(a) for a in _ADJS]), (F.pmod(k * 7, F.lit(8)) + 1).cast("int"))
+    noun = F.element_at(F.array(*[F.lit(n) for n in _NOUNS]), (F.pmod(k * 13, F.lit(8)) + 1).cast("int"))
+    username = F.substring(
+        F.concat(adj, noun, F.lpad(F.pmod(k * 3, F.lit(100)).cast("string"), 2, "0"),
+                 F.lpad(F.pmod(k * 11, F.lit(100)).cast("string"), 2, "0")),
+        1, 15,
+    )
+    # weak password: Capitalized noun + digits to length 8 (mkusername.py:85-89)
+    weak = F.rpad(noun, 8, "7")
+    return c.select(
+        k.alias("custkey"),
+        username.alias("username"),
+        F.md5(username.cast("binary")).alias("username_md5"),
+        weak.alias("weak_password"),
+    )
+
+
+def q_dob_phone_formats(spark: SparkSession, sf: str) -> DataFrame:
+    # C21: one value -> acceptable-strings fan-out (get_conf_file.py:50-135)
+    o = _t(spark, sf, "orders")
+    d = F.col("o_orderdate")
+    phone = F.lpad(F.pmod(F.col("o_custkey") * 7919, F.lit(10000000)).cast("string"), 10, "0")
+    dob_formats = F.concat_ws(
+        "|",
+        F.date_format(d, "MM/dd/yyyy"),
+        F.date_format(d, "MM-dd-yyyy"),
+        F.date_format(d, "yyyy-MM-dd"),
+        F.date_format(d, "dd.MM.yyyy"),
+        F.date_format(d, "yyyyMMdd"),
+        F.date_format(d, "M/d/yyyy"),
+    )
+    phone_formats = F.concat_ws(
+        "|",
+        phone,
+        F.concat(F.lit("("), F.substring(phone, 1, 3), F.lit(") "), F.substring(phone, 4, 3), F.lit("-"), F.substring(phone, 7, 4)),
+        F.concat(F.substring(phone, 1, 3), F.lit("-"), F.substring(phone, 4, 3), F.lit("-"), F.substring(phone, 7, 4)),
+    )
+    return o.select(
+        F.col("o_orderkey").alias("umid"), dob_formats.alias("dob_formats"), phone_formats.alias("phone_formats")
+    )
+
+
+def q_gid_sharding(spark: SparkSession, sf: str) -> DataFrame:
+    # C24: gid -> %08d -> aa/bb/cc/dd output sharding (run_queue_nowrap:157-169)
+    o = _t(spark, sf, "orders")
+    g = F.lpad(F.col("o_orderkey").cast("string"), 8, "0")
+    return o.select(
+        F.col("o_orderkey").alias("gid"),
+        F.concat_ws(
+            "/", F.substring(g, 1, 2), F.substring(g, 3, 2), F.substring(g, 5, 2), F.substring(g, 7, 2)
+        ).alias("shard_path"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "credentials": q_credentials,
+    "dob_phone_formats": q_dob_phone_formats,
+    "gid_sharding": q_gid_sharding,
     "link_scoring": q_link_scoring,
     "form_discovery": q_form_discovery,
     "mail_best_url": q_mail_best_url,
@@ -848,6 +915,40 @@ ORACLES.update(
         # Analytic oracles: expected outputs derived independently from
         # the planted constructions (weights traced by hand from the
         # reference's expression tables).
+        "credentials": """
+            WITH base AS (
+              SELECT c_custkey AS custkey,
+                     (['Quick','Calm','Brave','Sly','Merry','Stout','Keen','Wry'])[(c_custkey * 7) % 8 + 1] AS adj,
+                     (['Otter','Falcon','Maple','Comet','Harbor','Pebble','Willow','Drift'])[(c_custkey * 13) % 8 + 1] AS noun,
+                     lpad(CAST((c_custkey * 3) % 100 AS VARCHAR), 2, '0') AS d1,
+                     lpad(CAST((c_custkey * 11) % 100 AS VARCHAR), 2, '0') AS d2
+              FROM customer)
+            SELECT custkey,
+                   substring(adj || noun || d1 || d2, 1, 15) AS username,
+                   md5(substring(adj || noun || d1 || d2, 1, 15)) AS username_md5,
+                   rpad(noun, 8, '7') AS weak_password
+            FROM base
+        """,
+        "dob_phone_formats": """
+            WITH p AS (
+              SELECT o_orderkey AS umid, o_orderdate AS d,
+                     lpad(CAST((o_custkey * 7919) % 10000000 AS VARCHAR), 10, '0') AS ph
+              FROM orders)
+            SELECT umid,
+                   strftime(d, '%m/%d/%Y') || '|' || strftime(d, '%m-%d-%Y') || '|'
+                     || strftime(d, '%Y-%m-%d') || '|' || strftime(d, '%d.%m.%Y') || '|'
+                     || strftime(d, '%Y%m%d') || '|' || strftime(d, '%-m/%-d/%Y') AS dob_formats,
+                   ph || '|(' || substring(ph,1,3) || ') ' || substring(ph,4,3) || '-' || substring(ph,7,4)
+                      || '|' || substring(ph,1,3) || '-' || substring(ph,4,3) || '-' || substring(ph,7,4)
+                     AS phone_formats
+            FROM p
+        """,
+        "gid_sharding": """
+            WITH g AS (SELECT o_orderkey AS gid, lpad(CAST(o_orderkey AS VARCHAR), 8, '0') AS s FROM orders)
+            SELECT gid, substring(s,1,2) || '/' || substring(s,3,2) || '/'
+                        || substring(s,5,2) || '/' || substring(s,7,2) AS shard_path
+            FROM g
+        """,
         "link_scoring": """
             SELECT o_orderkey AS umid,
                    t AS anchor_text,
