@@ -50,6 +50,22 @@ def test_filter_unseen_exact(spark):
     assert got == want  # bloom+backstop == exact anti-join result
 
 
+def test_incremental_merge_equals_full_build(spark):
+    from tripwire_spark.operators.seen import BloomSeenSet
+
+    bloom = BloomSeenSet(n_buckets=8, bits_per_key=10, capacity=100_000)
+    a, b = _urls(spark, 0, 2000), _urls(spark, 2000, 2000)
+    merged = bloom.merge(bloom.build(a), b).persist()
+    # merged sketch must contain every url from both halves
+    flagged = bloom.probe(_urls(spark, 0, 4000), merged)
+    assert flagged.filter(~F.col("maybe_seen")).count() == 0
+    assert flagged.filter(F.col("maybe_seen").isNull()).count() == 0
+    # and byte-identical to a one-shot build over the union
+    full = {r.bucket: r.bits for r in bloom.build(a.unionByName(b)).collect()}
+    inc = {r.bucket: r.bits for r in merged.collect()}
+    assert full == inc
+
+
 def test_sketch_snapshot_roundtrip(spark, tmp_path):
     from tripwire_spark.operators.seen import BloomSeenSet
     from tripwire_spark.sources.snapshots import SnapshotTable

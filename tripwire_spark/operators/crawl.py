@@ -129,6 +129,7 @@ def discover(
     queue: str = "default",
     bloom=None,
     sketch: DataFrame | None = None,
+    caches: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Score, filter, canonicalize, dedup, and anti-join new links.
 
@@ -169,6 +170,7 @@ def discover(
             bloom,
             hash_col="url_hash",
             url_col="curl",
+            caches=caches,
         ).drop("url_hash")
     else:
         fresh = deduped.join(seen.select(F.col("url").alias("curl")), "curl", "left_anti")
@@ -232,7 +234,7 @@ def run_crawl(
     if checkpoint_dir:
         tables = {
             name: SnapshotTable(spark, checkpoint_dir, name)
-            for name in ("frontier", "results", "fetch_log", "decision_log")
+            for name in ("frontier", "results", "fetch_log", "decision_log", "seen_sketch")
         }
 
     if resume and tables and tables["frontier"].latest_id():
@@ -259,6 +261,20 @@ def run_crawl(
 
     state = CrawlState(frontier=frontier, results=results, fetch_log=fetch_log, decision_log=decision_log)
 
+    # Fixed-capacity incremental bloom: built ONCE over the seed
+    # frontier (restored from its own snapshot on resume), then
+    # OR-merged with each round's new urls — O(new) per round.
+    bloom = None
+    sketch = None
+    if use_bloom:
+        from tripwire_spark.operators.seen import BloomSeenSet
+
+        bloom = BloomSeenSet(n_buckets=bloom_buckets)
+        if resume and tables and tables["seen_sketch"].latest_id():
+            sketch = tables["seen_sketch"].read().persist()
+        else:
+            sketch = bloom.build(state.frontier.select("url_hash"), "url_hash").persist()
+
     for r in range(start_round, max_rounds + 1):
         claimed, disabled = politeness_schedule(
             state.frontier, robots, default_budget=default_budget, round_no=r
@@ -271,14 +287,10 @@ def run_crawl(
         fetched, hits = fetch_pages(claimed, pages)
         round_results, links = extract_round(fetched)
         seen = state.frontier.select("url", "url_hash")
-        bloom = sketch = None
-        if use_bloom:
-            from tripwire_spark.operators.seen import BloomSeenSet
-
-            bloom = BloomSeenSet(n_buckets=bloom_buckets)
-            sketch = bloom.build(seen, "url_hash").persist()
+        round_caches: list = []
         new_rows, link_decisions = discover(
-            links, seen, patterns, round_no=r, vid=vid, bloom=bloom, sketch=sketch
+            links, seen, patterns, round_no=r, vid=vid, bloom=bloom, sketch=sketch,
+            caches=round_caches,
         )
 
         log = fetched.select(
@@ -308,6 +320,11 @@ def run_crawl(
         state.decision_log = state.decision_log.unionByName(link_decisions)
         state.rounds_run = r
 
+        # Incremental sketch update: OR-merge only this round's new urls.
+        new_sketch = None
+        if bloom is not None:
+            new_sketch = bloom.merge(sketch, new_rows.select("url_hash"), "url_hash").persist()
+
         if tables:
             # Snapshot commit truncates lineage: re-read what we wrote.
             n_claimed = claimed.count()
@@ -316,6 +333,8 @@ def run_crawl(
             tables["results"].commit(state.results, summary)
             tables["fetch_log"].commit(state.fetch_log, summary)
             tables["decision_log"].commit(state.decision_log, summary)
+            if new_sketch is not None:
+                tables["seen_sketch"].commit(new_sketch, summary)
             state.frontier = tables["frontier"].read()
             state.results = tables["results"].read()
             state.fetch_log = tables["fetch_log"].read()
@@ -324,10 +343,18 @@ def run_crawl(
         else:
             # No checkpoint: pin each round's frontier to break lineage growth.
             state.frontier = state.frontier.localCheckpoint(eager=True)
+            if new_sketch is not None:
+                new_sketch.count()  # materialize before dropping inputs
 
         hits.unpersist()
         claimed.unpersist()
-        if sketch is not None:
+        if new_sketch is not None:
             sketch.unpersist()
+            sketch = new_sketch
+        for c in round_caches:
+            c.unpersist()
+
+    if sketch is not None:
+        sketch.unpersist()
 
     return state

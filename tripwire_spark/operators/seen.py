@@ -50,12 +50,23 @@ def _positions(h1: np.ndarray, k: int, m: int) -> np.ndarray:
 
 
 class BloomSeenSet:
-    """Builder/prober for the sharded bloom sketch table."""
+    """Builder/prober/merger for the sharded bloom sketch table.
 
-    def __init__(self, n_buckets: int = 64, bits_per_key: int = 10) -> None:
+    ``capacity`` fixes each bucket's bit-array size up front
+    (capacity x bits_per_key / n_buckets), which makes sketches
+    **mergeable by bitwise OR**: a crawl round builds a partial sketch
+    from only its NEW urls and ORs it into the persisted sketch —
+    O(new) per round instead of O(frontier), the only shape that
+    survives a 10^10-url frontier.  FP rate degrades gracefully if the
+    true count overshoots capacity; the exact backstop keeps the seen
+    SET exact regardless.
+    """
+
+    def __init__(self, n_buckets: int = 64, bits_per_key: int = 10, capacity: int = 1_000_000) -> None:
         self.n_buckets = n_buckets
         self.bits_per_key = bits_per_key
         self.k = max(1, round(bits_per_key * math.log(2)))  # optimal k
+        self.m_bits = max(64, (capacity * bits_per_key) // n_buckets)
 
     def bucket_col(self, hash_col):
         return F.pmod(hash_col, F.lit(self.n_buckets)).cast("int")
@@ -63,12 +74,11 @@ class BloomSeenSet:
     # -- build ------------------------------------------------------------
     def build(self, seen: DataFrame, hash_col: str = "url_hash") -> DataFrame:
         """seen(url_hash) -> sketch(bucket, bits, n_items, m_bits, k)."""
-        n_buckets, bpk, k = self.n_buckets, self.bits_per_key, self.k
+        k, m = self.k, self.m_bits
 
         def make(key, pdf: pd.DataFrame):
             hs = pdf["h"].to_numpy(dtype=np.int64)
             n = len(hs)
-            m = max(64, int(n * bpk))
             bits = np.zeros((m + 7) // 8, dtype=np.uint8)
             if n:
                 pos = _positions(hs, k, m).ravel()
@@ -88,6 +98,35 @@ class BloomSeenSet:
         )
         return prepared.groupBy("bucket").applyInPandas(
             make, schema="bucket int, bits binary, n_items long, m_bits long, k int"
+        )
+
+    # -- merge ------------------------------------------------------------
+    def merge(self, sketch: DataFrame, new_urls: DataFrame, hash_col: str = "url_hash") -> DataFrame:
+        """OR a partial sketch of ``new_urls`` into ``sketch`` — the
+        incremental per-round update (never rebuilds from the frontier)."""
+        partial = self.build(new_urls, hash_col)
+
+        def orr(key, pdf: pd.DataFrame):
+            acc = None
+            n = 0
+            for b, ni in zip(pdf["bits"], pdf["n_items"]):
+                arr = np.frombuffer(b, dtype=np.uint8)
+                acc = arr.copy() if acc is None else (acc | arr)
+                n += int(ni)
+            return pd.DataFrame(
+                {
+                    "bucket": [int(key[0])],
+                    "bits": [acc.tobytes()],
+                    "n_items": [n],
+                    "m_bits": [int(pdf["m_bits"].iloc[0])],
+                    "k": [int(pdf["k"].iloc[0])],
+                }
+            )
+
+        return (
+            sketch.unionByName(partial)
+            .groupBy("bucket")
+            .applyInPandas(orr, schema="bucket int, bits binary, n_items long, m_bits long, k int")
         )
 
     # -- probe ------------------------------------------------------------
@@ -154,6 +193,7 @@ def filter_unseen(
     bloom: "BloomSeenSet",
     hash_col: str = "url_hash",
     url_col: str = "url",
+    caches: list | None = None,
 ) -> DataFrame:
     """The full unseen-filter: bloom pre-filter, exact backstop.
 
@@ -161,10 +201,17 @@ def filter_unseen(
     rows go through the exact anti-join, which removes true positives
     and re-admits bloom false positives.  Result is exactly the unseen
     candidates, at a fraction of the anti-join input.
+
+    ``flagged`` is persisted (lifecycle handed to ``caches`` when
+    given): the fresh/maybe split and the downstream union would
+    otherwise re-run the entire candidate subtree (extraction UDFs,
+    dedup window, probe) once per consumer.
     """
     if sketch is None:
         return candidates.join(exact_seen.select(url_col), url_col, "left_anti")
-    flagged = bloom.probe(candidates, sketch, hash_col)
+    flagged = bloom.probe(candidates, sketch, hash_col).persist()
+    if caches is not None:
+        caches.append(flagged)
     fresh = flagged.filter(~F.coalesce(F.col("maybe_seen"), F.lit(False))).drop("maybe_seen")
     maybe = flagged.filter(F.coalesce(F.col("maybe_seen"), F.lit(False))).drop("maybe_seen")
     readmitted = maybe.join(exact_seen.select(url_col), url_col, "left_anti")
