@@ -230,3 +230,40 @@ def extract_forms(html: pd.Series) -> pd.Series:
         ]
 
     return html.map(one)
+
+
+PAGE_TYPE = T.StructType(
+    [
+        T.StructField("text", T.StringType()),
+        T.StructField("links", LINKS_TYPE),
+    ]
+)
+
+
+@F.pandas_udf(PAGE_TYPE)
+def extract_page(html: pd.Series) -> pd.DataFrame:
+    """Single-parse page extraction: byte-identical text
+    (pageUtils.js:58-61) AND gated anchor candidates
+    (pagefinder.js:6,98-100) from ONE pass over the html.
+
+    The crawl loop uses this instead of extract_text + extract_links so
+    each fetched page is parsed exactly once and the (large, immutable)
+    html column never needs to be cached — only the skinny parsed
+    output is."""
+
+    def one(h):
+        if h is None:
+            return {"text": None, "links": []}
+        p = _parse(h)
+        title = _WS.sub(" ", " ".join(p.title_parts)).strip()
+        plain = " ".join(p.body_parts)
+        return {
+            "text": f"{title} {plain}",
+            "links": [
+                {"href": href, "text": txt, "pos": i}
+                for i, (href, txt) in enumerate(p.links)
+                if 1 <= len(txt) <= 30
+            ],
+        }
+
+    return pd.DataFrame(list(html.map(one)))

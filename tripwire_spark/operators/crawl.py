@@ -9,18 +9,26 @@ one "round" = one deterministic batch over the whole claimable set
 instead of one worker claiming one row.
 
 Per round:
-1. politeness schedule (W2 rank under budget, robots filter)
-2. salted-host repartition -> join pages on url (AQE-planned; the
-   claimed side is broadcast when small)
+1. politeness schedule (W2 two-phase salted rank under budget, robots
+   filter)
+2. fetch = broadcast(claimed) join pages on url (the pages fact table
+   is never shuffled)
 3. extraction: byte-identical text (pageUtils.js:58-61), link + form
    candidates (vectorized pandas UDFs)
-4. link scoring (C18 + D3 combine), blacklist (F1), canonicalize,
-   in-round dedup, anti-join the exact seen set (D7 / F2 analog; the
-   partitioned Bloom pre-filter slots in front at scale — see seen.py)
-5. settle: status transitions (T2), qid assignment for discoveries,
-   fetch_log (S10) + decision_log (S9) appends
+4. link scoring (C18 + D3 combine), blacklist (F1), canonicalize, then
+   ONE cogrouped seen-state pass (seen.py SeenState.admit): in-round
+   dedup + membership + bloom/hash-state update in a single shuffle —
+   D7 / F2 analog
+5. settle: status transitions (T2), lazy monotone qid assignment for
+   discoveries, fetch_log (S10) + decision_log (S9) appends
 6. snapshot commit per state table (= Iceberg snapshot per round;
    resume = read latest committed round).
+
+Stage budget: ~10 stages / 3 driver actions per round (politeness
+windows, fetch+extract+admit chain, id range-shuffle, settle
+checkpoint).  Keeping this count low matters as much on a 1000-executor
+cluster as locally: the frontier loop is latency-bound on scheduler
+round-trips, not data volume, once the per-round claim set is bounded.
 """
 
 from __future__ import annotations
@@ -30,7 +38,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from tripwire_spark.functions.html import extract_links, extract_text
+from tripwire_spark.functions.html import extract_links, extract_page, extract_text
 from tripwire_spark.functions.scoring import link_weight
 from tripwire_spark.functions.urls import reg_domain, resolve_canonicalize, url_hash, url_host
 from tripwire_spark.operators.frontier import (
@@ -42,11 +50,13 @@ from tripwire_spark.operators.frontier import (
     seed_decision_log,
     settle,
 )
-from tripwire_spark.operators.ids import assign_dense_ids
 from tripwire_spark.sources.snapshots import SnapshotTable
 
-# Discovered URLs get qids above every seed qid: round r base = r << 40.
-ROUND_QID_BASE = 1 << 40
+# Discovered URLs get qids above every seed qid: round r base = r << 57,
+# low 57 bits = url_hash (unique frontier-wide by seen-set construction).
+# Claim ORDER does not ride on qid for discoveries — politeness ranks by
+# the explicit (round_added, weight desc, qid) key (frontier.claim_order).
+ROUND_QID_BASE = 1 << 57
 
 
 def fetch_pages(claimed: DataFrame, pages: DataFrame, persist: bool = True) -> tuple[DataFrame, DataFrame]:
@@ -120,6 +130,25 @@ def extract_round(fetched: DataFrame) -> tuple[DataFrame, DataFrame]:
     return results, links
 
 
+def fetch_extract(claimed: DataFrame, pages: DataFrame) -> DataFrame:
+    """J11 fetch + single-parse extraction, fused.
+
+    broadcast(claimed) INNER JOIN pages (the 100 TB fact side is never
+    shuffled), then ONE ``extract_page`` pass producing byte-identical
+    text + gated link candidates.  The output is the round's working
+    set: frontier columns + (warc_ts, lang, text, links) — crucially
+    WITHOUT the html column, so caching it costs ~1% of caching the
+    joined pages.  Every downstream consumer (results, links, fetch
+    log, settle outcomes, miss detection) reads this one skinny cache;
+    the html bytes are touched exactly once per round.
+    """
+    pg = pages.select(F.col("url").alias("p_url"), "warc_ts", "html", "lang")
+    joined = (
+        claimed.hint("broadcast").join(pg, claimed["url"] == pg["p_url"], "inner").drop("p_url")
+    )
+    return joined.select(*FRONTIER_COLS, "warc_ts", "lang", extract_page("html").alias("p"))
+
+
 def discover(
     links: DataFrame,
     seen: DataFrame,
@@ -127,17 +156,22 @@ def discover(
     round_no: int,
     vid: int = 1,
     queue: str = "default",
-    bloom=None,
-    sketch: DataFrame | None = None,
+    seen_state=None,
+    state: DataFrame | None = None,
     caches: list | None = None,
-) -> tuple[DataFrame, DataFrame]:
-    """Score, filter, canonicalize, dedup, and anti-join new links.
+) -> tuple[DataFrame, DataFrame, DataFrame | None]:
+    """Score, filter, canonicalize, dedup, and seen-filter new links.
 
-    Returns (new_frontier_rows, decision_log_rows).
+    Returns (new_frontier_rows, decision_log_rows, next_state).
     Discovery order (and hence qid order) is pinned to
     (-weight, parent_qid, pos): best-scoring links first, ties broken by
     the FIFO order of the page that found them — the deterministic
     analog of 'click the best link first' (pagefinder.js:122,246-249).
+
+    With a ``seen_state`` (SeenState), in-round dedup + membership test
+    + state update collapse into ONE cogrouped pass (see seen.py);
+    without one, falls back to a window-dedup + exact anti-join against
+    ``seen`` (the frontier's urls).
     """
     bl = blacklist_regex(patterns)
     scored = (
@@ -154,43 +188,45 @@ def discover(
     ).select(F.lit(round_no).alias("round"), "parent_qid", "curl", "weight", "decision")
 
     kept = scored.filter(~F.col("curl").rlike(bl)).filter(F.col("weight") >= 0)
-    # In-round dedup: keep the best (first by discovery order) occurrence.
-    w = Window.partitionBy("curl").orderBy(F.col("weight").desc(), "parent_qid", "pos")
-    deduped = kept.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
-    # Seen filter: partitioned-bloom pre-filter (when provided) with the
-    # exact anti-join backstop — the seen SET stays exact either way.
-    if bloom is not None and sketch is not None:
-        from tripwire_spark.operators.seen import filter_unseen
+    next_state = None
+    if seen_state is not None and state is not None:
+        from tripwire_spark.operators.seen import SeenState
 
-        cands = deduped.withColumn("url_hash", url_hash("curl"))
-        fresh = filter_unseen(
-            cands,
-            seen.select(F.col("url").alias("curl")),
-            sketch,
-            bloom,
-            hash_col="url_hash",
-            url_col="curl",
-            caches=caches,
-        ).drop("url_hash")
-    else:
-        fresh = deduped.join(seen.select(F.col("url").alias("curl")), "curl", "left_anti")
-    # Deterministic qid assignment above all earlier qids; best-first
-    # order = ascending (-weight, parent_qid, pos).
-    with_ids = assign_dense_ids(
-        fresh.select(
+        cands = kept.select(
             "curl",
+            url_hash("curl").alias("url_hash"),
             (-F.col("weight")).alias("__negw"),
             "parent_qid",
             "pos",
-        ),
-        order_cols=["__negw", "parent_qid", "pos"],
-        id_col="__seq",
-        start=0,
-    )
-    new_rows = with_ids.select(
-        (F.lit(round_no * ROUND_QID_BASE) + F.col("__seq")).alias("qid"),
+        )
+        admitted = seen_state.admit(
+            cands, state, hash_col="url_hash", order_cols=["__negw", "parent_qid", "pos"]
+        ).persist()
+        if caches is not None:
+            caches.append(admitted)
+        fresh, next_state = SeenState.split(
+            admitted, ["curl", "url_hash", "__negw", "parent_qid", "pos"]
+        )
+    else:
+        w = Window.partitionBy("curl").orderBy(F.col("weight").desc(), "parent_qid", "pos")
+        deduped = kept.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+        fresh = deduped.join(seen.select(F.col("url").alias("curl")), "curl", "left_anti").select(
+            "curl",
+            url_hash("curl").alias("url_hash"),
+            (-F.col("weight")).alias("__negw"),
+            "parent_qid",
+            "pos",
+        )
+    # Deterministic qid = round_base | url_hash mod 2^57.  The seen set
+    # guarantees a url enters the frontier exactly once, so url_hash is
+    # unique frontier-wide and the derived qid needs NO shuffle, NO
+    # sampling pass, and NO driver action (the reference's serial
+    # INCR-allocated qid exists only to order claims; claim priority is
+    # now the explicit (round_added, weight desc, qid) key instead).
+    new_rows = fresh.select(
+        (F.lit(round_no * ROUND_QID_BASE) + F.pmod("url_hash", F.lit(ROUND_QID_BASE))).alias("qid"),
         F.col("curl").alias("url"),
-        url_hash("curl").alias("url_hash"),
+        F.col("url_hash"),
         reg_domain(url_host("curl")).alias("host"),
         F.lit(None).cast("int").alias("alexa"),
         F.lit(0).alias("try"),
@@ -198,8 +234,9 @@ def discover(
         F.lit(queue).alias("queue"),
         F.lit(vid).alias("vid"),
         F.lit(round_no).alias("round_added"),
+        (-F.col("__negw")).cast("double").alias("weight"),
     )
-    return new_rows, decisions
+    return new_rows, decisions, next_state
 
 
 @dataclass
@@ -210,6 +247,14 @@ class CrawlState:
     decision_log: DataFrame | None = None
     rounds_run: int = 0
     metrics: list[dict] = field(default_factory=list)
+    # Persisted intermediates backing the lazy results/log DAGs when no
+    # checkpoint_dir is used; call .release() when done with the state.
+    caches: list = field(default_factory=list)
+
+    def release(self) -> None:
+        for c in self.caches:
+            c.unpersist()
+        self.caches = []
 
 
 def run_crawl(
@@ -260,40 +305,65 @@ def run_crawl(
             tables["decision_log"].commit(decision_log, {"round": 0})
 
     state = CrawlState(frontier=frontier, results=results, fetch_log=fetch_log, decision_log=decision_log)
+    if not tables:
+        # Pin the seeded frontier once: every consumer below (seen-state
+        # init, politeness, settle) reads the cached, host-clustered rows.
+        state.frontier = state.frontier.localCheckpoint(eager=True)
 
-    # Fixed-capacity incremental bloom: built ONCE over the seed
-    # frontier (restored from its own snapshot on resume), then
-    # OR-merged with each round's new urls — O(new) per round.
-    bloom = None
-    sketch = None
+    # Bucket-sharded seen-state (bloom bits + sorted hash array per
+    # bucket): initialized ONCE over the seed frontier (restored from
+    # its snapshot on resume), then carried forward by each round's
+    # admit() pass — O(new) update per round.
+    crawl_caches: list = []
+    seen_svc = None
+    seen_state_df = None
     if use_bloom:
-        from tripwire_spark.operators.seen import BloomSeenSet
+        from tripwire_spark.operators.seen import SeenState
 
-        bloom = BloomSeenSet(n_buckets=bloom_buckets)
+        seen_svc = SeenState(n_buckets=bloom_buckets)
         if resume and tables and tables["seen_sketch"].latest_id():
-            sketch = tables["seen_sketch"].read().persist()
+            seen_state_df = tables["seen_sketch"].read().persist()
         else:
-            sketch = bloom.build(state.frontier.select("url_hash"), "url_hash").persist()
+            seen_state_df = seen_svc.init(state.frontier.select("url_hash"), "url_hash").persist()
+            if not tables:
+                crawl_caches.append(seen_state_df)
 
     for r in range(start_round, max_rounds + 1):
         claimed, disabled = politeness_schedule(
             state.frontier, robots, default_budget=default_budget, round_no=r
         )
         claimed = claimed.persist()
-        if claimed.isEmpty():
-            claimed.unpersist()
-            break
-
-        fetched, hits = fetch_pages(claimed, pages)
-        round_results, links = extract_round(fetched)
-        seen = state.frontier.select("url", "url_hash")
-        round_caches: list = []
-        new_rows, link_decisions = discover(
-            links, seen, patterns, round_no=r, vid=vid, bloom=bloom, sketch=sketch,
-            caches=round_caches,
+        parsed = fetch_extract(claimed, pages).persist()
+        misses = claimed.join(F.broadcast(parsed.select("qid")), "qid", "left_anti")
+        fetched_meta = parsed.select(
+            "qid", "url", "host", "try", F.lit(True).alias("found")
+        ).unionByName(misses.select("qid", "url", "host", "try", F.lit(False).alias("found")))
+        round_results = parsed.select(
+            "qid", "url", F.col("p.text").alias("text"), "lang", "warc_ts"
         )
+        links = parsed.select(
+            F.col("qid").alias("parent_qid"),
+            F.col("url").alias("parent_url"),
+            F.explode("p.links").alias("l"),
+        ).select(
+            "parent_qid",
+            "parent_url",
+            F.col("l.href").alias("href"),
+            F.col("l.text").alias("anchor_text"),
+            F.col("l.pos").alias("pos"),
+        )
+        seen = state.frontier.select("url", "url_hash")
+        round_caches: list = [parsed]
+        new_rows, link_decisions, next_state = discover(
+            links, seen, patterns, round_no=r, vid=vid,
+            seen_state=seen_svc, state=seen_state_df, caches=round_caches,
+        )
+        # new_rows feeds the settled frontier (and the snapshot commit);
+        # without a pin its range-id shuffle runs once per consumer.
+        new_rows = new_rows.persist()
+        round_caches.append(new_rows)
 
-        log = fetched.select(
+        log = fetched_meta.select(
             "qid",
             "url",
             "host",
@@ -305,56 +375,71 @@ def run_crawl(
 
         state.frontier = settle(
             state.frontier,
-            fetched.select("qid", "try", "found"),
+            fetched_meta.select("qid", "try", "found"),
             new_urls=new_rows,
             disabled=disabled,
         )
-        if not tables:
-            # Pin this round's increments NOW: they must stay readable
-            # after hits.unpersist() without re-scanning the pages table.
-            round_results = round_results.localCheckpoint(eager=True)
-            log = log.localCheckpoint(eager=True)
-            link_decisions = link_decisions.localCheckpoint(eager=True)
         state.results = round_results if state.results is None else state.results.unionByName(round_results)
         state.fetch_log = log if state.fetch_log is None else state.fetch_log.unionByName(log)
         state.decision_log = state.decision_log.unionByName(link_decisions)
         state.rounds_run = r
 
-        # Incremental sketch update: OR-merge only this round's new urls.
-        new_sketch = None
-        if bloom is not None:
-            new_sketch = bloom.merge(sketch, new_rows.select("url_hash"), "url_hash").persist()
-
+        nxt = None
         if tables:
             # Snapshot commit truncates lineage: re-read what we wrote.
             n_claimed = claimed.count()
+            if n_claimed == 0:
+                claimed.unpersist()
+                parsed.unpersist()
+                state.rounds_run = r - 1
+                break
             summary = {"round": r, "claimed": n_claimed}
             tables["frontier"].commit(state.frontier, summary)
             tables["results"].commit(state.results, summary)
             tables["fetch_log"].commit(state.fetch_log, summary)
             tables["decision_log"].commit(state.decision_log, summary)
-            if new_sketch is not None:
-                tables["seen_sketch"].commit(new_sketch, summary)
+            if next_state is not None:
+                tables["seen_sketch"].commit(next_state, summary)
             state.frontier = tables["frontier"].read()
             state.results = tables["results"].read()
             state.fetch_log = tables["fetch_log"].read()
             state.decision_log = tables["decision_log"].read()
             state.metrics.append(summary)
+            if next_state is not None:
+                nxt = tables["seen_sketch"].read().persist()
         else:
-            # No checkpoint: pin each round's frontier to break lineage growth.
+            # No checkpoint: pin each round's frontier to break lineage
+            # growth.  This one eager action also materializes the
+            # round's hits/links/admitted caches, which the lazy
+            # results/fetch_log/decision_log DAGs keep reading — so
+            # those caches live until the crawl ends (crawl_caches),
+            # not until the round ends.  The snapshot-table path instead
+            # rewrites state to disk and can drop caches per round.
             state.frontier = state.frontier.localCheckpoint(eager=True)
-            if new_sketch is not None:
-                new_sketch.count()  # materialize before dropping inputs
+            # next_state is backed by the (now materialized) admitted
+            # cache — no extra action needed.
+            nxt = next_state
+            # Emptiness probe AFTER the round's one materializing action:
+            # reads the claimed cache (cheap) instead of forcing an extra
+            # politeness evaluation up front.  A drained frontier costs
+            # one no-op round instead of a per-round pre-check.
+            if claimed.isEmpty():
+                claimed.unpersist()
+                state.rounds_run = r - 1
+                break
 
-        hits.unpersist()
         claimed.unpersist()
-        if new_sketch is not None:
-            sketch.unpersist()
-            sketch = new_sketch
-        for c in round_caches:
-            c.unpersist()
+        if nxt is not None:
+            if seen_state_df is not None and tables:
+                seen_state_df.unpersist()
+            seen_state_df = nxt
+        if tables:
+            for c in round_caches:
+                c.unpersist()
+        else:
+            crawl_caches.extend(round_caches)
 
-    if sketch is not None:
-        sketch.unpersist()
-
+    if seen_state_df is not None and tables:
+        seen_state_df.unpersist()
+    state.caches = crawl_caches
     return state

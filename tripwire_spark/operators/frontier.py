@@ -37,7 +37,18 @@ ST_COMPLETED = "completed"
 ST_FAILED = "failed"
 ST_DISABLED = "disabled"
 
-FRONTIER_COLS = ["qid", "url", "url_hash", "host", "alexa", "try", "status", "queue", "vid", "round_added"]
+FRONTIER_COLS = [
+    "qid", "url", "url_hash", "host", "alexa", "try", "status", "queue", "vid",
+    "round_added", "weight",
+]
+
+# The frontier's claim-priority key (W2 / O1): FIFO across rounds
+# (seeds of round 0 first), best-scoring links first within a round
+# (pagefinder.js:122 — click the best link first), qid as the final
+# deterministic tiebreak.  Seeds carry NULL weight; desc_nulls_last
+# keeps round-0 ordering purely by qid (= seed file order).
+def claim_order():
+    return [F.col("round_added").asc(), F.col("weight").desc_nulls_last(), F.col("qid").asc()]
 
 
 def blacklist_regex(patterns: list[str]) -> str:
@@ -73,6 +84,7 @@ def build_frontier(seeds: DataFrame, patterns: list[str], vid: int = 1, queue: s
         F.lit(queue).alias("queue"),
         F.lit(vid).alias("vid"),
         F.lit(0).alias("round_added"),
+        F.lit(None).cast("double").alias("weight"),
     )
 
 
@@ -139,9 +151,9 @@ def politeness_schedule(
         budget = F.col("crawl_budget")
 
     salted = claimable.withColumn("__salt", F.pmod(F.xxhash64("url"), F.lit(salt_buckets)))
-    w1 = Window.partitionBy("queue", "host", "__salt").orderBy("qid")
+    w1 = Window.partitionBy("queue", "host", "__salt").orderBy(*claim_order())
     survivors = salted.withColumn("__rn1", F.row_number().over(w1)).filter(F.col("__rn1") <= budget)
-    w2 = Window.partitionBy("queue", "host").orderBy("qid")
+    w2 = Window.partitionBy("queue", "host").orderBy(*claim_order())
     claimed = (
         survivors.withColumn("__rank", F.row_number().over(w2))
         .filter(F.col("__rank") <= budget)
@@ -225,6 +237,7 @@ def settle(
         "queue",
         "vid",
         "round_added",
+        "weight",
     )
     if new_urls is not None:
         merged = merged.unionByName(new_urls.select(*FRONTIER_COLS))
