@@ -202,6 +202,36 @@ def q_repeat_bonus_dedup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_link_reweight(spark: SparkSession, sf: str) -> DataFrame:
+    """D3: pairwise selector reweight — an ORDERED fold, not a
+    commutative agg (pagefinder.js:79-93; SURVEY.md §7 hard part 4).
+
+    Rule per selector, iterating matches in declaration order: if both
+    accumulated and new weight are >= 0, weight = max(acc, new) + 1;
+    otherwise the (most) negative wins.  Expressed as
+    sort_array(collect_list(struct)) + F.aggregate so the fold order is
+    pinned regardless of partitioning."""
+    p = _t(spark, sf, "part")
+    rows = p.select(
+        F.col("p_brand").alias("selector"),
+        F.col("p_partkey").alias("ord"),
+        (F.pmod(F.col("p_partkey") * 13 + F.length("p_type"), F.lit(7)) - F.lit(2))
+        .cast("long")
+        .alias("w"),
+    )
+    arr = rows.groupBy("selector").agg(
+        F.sort_array(F.collect_list(F.struct("ord", "w"))).alias("ws")
+    )
+    folded = F.aggregate(
+        F.expr("slice(ws, 2, size(ws) - 1)"),
+        F.col("ws")[0]["w"],
+        lambda acc, x: F.when((acc >= 0) & (x["w"] >= 0), F.greatest(acc, x["w"]) + 1).otherwise(
+            F.least(acc, x["w"])
+        ),
+    )
+    return arr.select("selector", F.size("ws").alias("n_matches"), folded.alias("weight"))
+
+
 def q_url_canonicalize(spark: SparkSession, sf: str) -> DataFrame:
     # C1: norm_url (schema.sql:902-907) over synthesized quirky URLs
     from tripwire_spark.functions.urls import canonicalize_url
@@ -764,6 +794,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "price_bucket": q_price_bucket,
     "latest_per_customer": q_latest_per_customer,
     "repeat_bonus_dedup": q_repeat_bonus_dedup,
+    "link_reweight": q_link_reweight,
     "url_canonicalize": q_url_canonicalize,
     "reg_domain": q_reg_domain,
     "frontier_schedule": q_frontier_schedule,
@@ -844,6 +875,22 @@ ORACLES: dict[str, str] = {
                CAST(arg_min(value, event_id) AS DOUBLE)
                  + 20 * CAST(count(*) - 1 AS DOUBLE) AS weight
         FROM events GROUP BY user_id, event_type
+    """,
+    "link_reweight": """
+        WITH rows_w AS (
+          SELECT p_brand AS selector, p_partkey AS ord,
+                 CAST(((p_partkey * 13 + length(p_type)) % 7 + 7) % 7 - 2 AS BIGINT) AS w
+          FROM part
+        ), packed AS (
+          SELECT selector,
+                 list(w ORDER BY ord, w) AS ws
+          FROM rows_w GROUP BY selector
+        )
+        SELECT selector, len(ws) AS n_matches,
+               list_reduce(ws, (acc, x) -> CASE WHEN acc >= 0 AND x >= 0
+                                                THEN greatest(acc, x) + 1
+                                                ELSE least(acc, x) END) AS weight
+        FROM packed
     """,
     "url_canonicalize": """
         SELECT c_custkey AS custkey,

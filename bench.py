@@ -59,12 +59,14 @@ def hw_concurrency_slowdown(threads_small: int, threads_large: int, n: int = 800
     import multiprocessing as mp
     import statistics
 
-    out = {}
-    for k in (threads_small, threads_large):
-        with mp.Pool(k) as pool:
-            ds = pool.map(_calib_one, [n] * k)
-        out[k] = statistics.median(ds)
-    return out[threads_large] / out[threads_small]
+    out = {threads_small: [], threads_large: []}
+    for _ in range(3):  # alternate; min-of-rounds rejects tenant noise
+        for k in (threads_small, threads_large):
+            with mp.Pool(k) as pool:
+                ds = pool.map(_calib_one, [n] * k)
+            out[k].append(statistics.median(ds))
+    sigma = min(out[threads_large]) / min(out[threads_small])
+    return max(1.0, sigma)  # <1 is measurement noise, not a speedup
 
 
 def _mk_seeds(spark, n_hosts: int):
@@ -77,7 +79,9 @@ def _mk_seeds(spark, n_hosts: int):
     )
 
 
-def crawl_bench(spark, n_hosts: int, rounds: int = 2, num_partitions: int | None = None) -> dict:
+def crawl_bench(
+    spark, n_hosts: int, rounds: int = 2, num_partitions: int | None = None, reps: int | None = None
+) -> dict:
     """Frontier throughput: URLs scheduled+deduped per second.
 
     Page shape approximates real Common-Crawl documents (hundreds of
@@ -109,7 +113,7 @@ def crawl_bench(spark, n_hosts: int, rounds: int = 2, num_partitions: int | None
     # identical runs vary up to ~2.5x; min over repeats approximates
     # the uncontended number a dedicated cluster would see.
     best = None
-    reps = int(os.environ.get("BENCH_CRAWL_REPS", "2"))
+    reps = reps or int(os.environ.get("BENCH_CRAWL_REPS", "2"))
     n_frontier = 0
     for _ in range(reps):
         seeds = _mk_seeds(spark, n_hosts)
@@ -172,7 +176,7 @@ def main() -> None:
     nparts = 2 * slots_large
 
     spark_l = get_spark("bench-crawl-4N", cores=slots_large, shuffle_partitions=nparts)
-    crawl = crawl_bench(spark_l, n_hosts=n_hosts, num_partitions=nparts)
+    crawl = crawl_bench(spark_l, n_hosts=n_hosts, num_partitions=nparts, reps=3)
     spark_l.stop()
     times["frontier_crawl"] = round(crawl["sec"], 3)
 
