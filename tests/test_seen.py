@@ -78,3 +78,42 @@ def test_sketch_snapshot_roundtrip(spark, tmp_path):
     flagged = bloom.probe(_urls(spark, 0, 1000), restored).persist()
     assert flagged.filter(F.col("maybe_seen").isNull()).count() == 0
     assert flagged.filter(~F.col("maybe_seen")).count() == 0
+
+
+def test_cuckoo_no_false_negatives_and_fp(spark):
+    from tripwire_spark.operators.seen import CuckooSeenSet
+
+    ck = CuckooSeenSet(n_buckets=8, capacity=50_000)
+    seen = _urls(spark, 0, 5000)
+    state = ck.build(seen).persist()
+    flagged = ck.probe(seen, state).persist()
+    assert flagged.filter(~F.col("maybe_seen")).count() == 0  # no false negatives
+    unseen = _urls(spark, 1_000_000, 5000)
+    fp = ck.probe(unseen, state).filter(F.col("maybe_seen")).count()
+    assert fp / 5000 < 0.01  # 16-bit fingerprints: ~1.2e-4 expected
+
+
+def test_cuckoo_delete_readmits(spark):
+    from tripwire_spark.operators.seen import CuckooSeenSet
+
+    ck = CuckooSeenSet(n_buckets=8, capacity=50_000)
+    a, b = _urls(spark, 0, 2000).persist(), _urls(spark, 2000, 2000).persist()
+    state = ck.build(a.unionByName(b)).persist()
+    # delete half -> those urls probe as unseen again, the rest stay seen
+    state2 = ck.delete(state, b).persist()
+    still = ck.probe(a, state2).filter(~F.col("maybe_seen")).count()
+    gone = ck.probe(b, state2).filter(F.col("maybe_seen")).count()
+    assert still == 0  # a fully present (fp collisions with b possible but 0 expected)
+    assert gone == 0   # b fully removed
+    # and re-insert works
+    state3 = ck.insert(state2, b).persist()
+    assert ck.probe(b, state3).filter(~F.col("maybe_seen")).count() == 0
+
+
+def test_cuckoo_incremental_matches_full_build(spark):
+    from tripwire_spark.operators.seen import CuckooSeenSet
+
+    ck = CuckooSeenSet(n_buckets=8, capacity=50_000)
+    a, b = _urls(spark, 0, 2000), _urls(spark, 2000, 2000)
+    merged = ck.insert(ck.build(a), b).persist()
+    assert ck.probe(_urls(spark, 0, 4000), merged).filter(~F.col("maybe_seen")).count() == 0

@@ -380,3 +380,214 @@ class SeenState:
             "bucket", "bloom", "hashes", "n_items", "m_bits", "k"
         )
         return fresh, nxt
+
+
+class CuckooSeenSet:
+    """Bucket-sharded cuckoo filter — the deletable seen-set variant
+    (SURVEY.md §4 custom work 1: "cuckoo variant for deletions").
+
+    Where the bloom sketch can only grow, a cuckoo filter supports
+    DELETE — needed when frontier rows are retired (e.g. a disabled
+    host's urls are dropped so they may be re-queued later) without
+    rebuilding the whole seen structure.  Design mirrors SeenState:
+    the key space is sharded by ``url_hash % n_buckets``; each shard
+    owns an independent cuckoo table stored as one binary row
+    (uint16 fingerprints, ``slots_per_entry``-way entries), so probe /
+    insert / delete are cogrouped per-shard numpy passes, never a
+    driver-side structure.
+
+    Per-shard layout: ``table[n_entries, slots]`` of uint16; 0 = empty
+    (fingerprints are mapped to 1..65535).  Entry choice i1 = h mod n,
+    i2 = i1 XOR (fp * 0x5bd1e995) mod n — partial-key cuckoo hashing as
+    in Fan et al., CoNEXT'14 ("Cuckoo Filter: Practically Better Than
+    Bloom"); eviction random-walk is made deterministic by seeding the
+    kick choice from the item hash.
+
+    Scale math: at 10^10 urls / 4096 shards x 16-bit fingerprints at
+    95% load, each shard blob is ~5 MB — same order as the SeenState
+    hash arrays, one Arrow blob per task.  FP rate ~= 2*slots/2^16
+    ~= 1.2e-4 at 4 slots.
+    """
+
+    SCHEMA = "bucket int, table binary, n_entries long, slots int, n_items long"
+    KICK_MAX = 500
+
+    def __init__(self, n_buckets: int = 64, capacity: int = 1_000_000, slots: int = 4) -> None:
+        self.n_buckets = n_buckets
+        self.slots = slots
+        per = max(64, int(capacity / n_buckets / 0.95))
+        # power-of-two entries so XOR relocation stays in range
+        self.n_entries = 1 << max(4, (per // slots).bit_length())
+
+    def bucket_col(self, hash_col):
+        return F.pmod(hash_col, F.lit(self.n_buckets)).cast("int")
+
+    # -- shard-local numpy kernels ---------------------------------------
+    @staticmethod
+    def _fp(hs: np.ndarray) -> np.ndarray:
+        f = ((hs >> np.int64(40)) & np.int64(0xFFFF)).astype(np.uint16)
+        return np.where(f == 0, np.uint16(1), f)
+
+    @staticmethod
+    def _alt(idx: np.ndarray, fp: np.ndarray, n: int) -> np.ndarray:
+        return (idx ^ (fp.astype(np.int64) * np.int64(0x5BD1E995))) % np.int64(n)
+
+    def _i1(self, hs: np.ndarray, n: int) -> np.ndarray:
+        return (hs % np.int64(n) + np.int64(n)) % np.int64(n)
+
+    def _insert_many(self, table: np.ndarray, hs: np.ndarray) -> int:
+        """Sequential per-item insert with deterministic kick walk.
+        Returns number inserted (drops items only past KICK_MAX — with
+        sane load factors this does not happen; callers surface it)."""
+        n, slots = table.shape
+        fps = self._fp(hs)
+        i1s = self._i1(hs, n)
+        inserted = 0
+        for fp, i1 in zip(fps, i1s):
+            i2 = int(self._alt(np.int64(i1), np.uint16(fp), n))
+            done = False
+            for idx in (int(i1), i2):
+                row = table[idx]
+                free = np.where(row == 0)[0]
+                if len(free):
+                    row[free[0]] = fp
+                    done = True
+                    break
+            if done:
+                inserted += 1
+                continue
+            # deterministic eviction walk seeded by the fingerprint
+            cur_idx, cur_fp = int(i1), int(fp)
+            state = (cur_fp * 2654435761 + cur_idx) & 0x7FFFFFFF
+            ok = False
+            for _ in range(self.KICK_MAX):
+                state = (state * 1103515245 + 12345) & 0x7FFFFFFF
+                slot = state % slots
+                cur_fp, table[cur_idx, slot] = int(table[cur_idx, slot]), cur_fp
+                cur_idx = int(self._alt(np.int64(cur_idx), np.uint16(cur_fp), n))
+                row = table[cur_idx]
+                free = np.where(row == 0)[0]
+                if len(free):
+                    row[free[0]] = cur_fp
+                    ok = True
+                    break
+            if ok:
+                inserted += 1
+        return inserted
+
+    def _contains(self, table: np.ndarray, hs: np.ndarray) -> np.ndarray:
+        n, _ = table.shape
+        fps = self._fp(hs)
+        i1 = self._i1(hs, n)
+        i2 = self._alt(i1, fps, n)
+        return ((table[i1] == fps[:, None]).any(axis=1)) | (
+            (table[i2] == fps[:, None]).any(axis=1)
+        )
+
+    def _delete_many(self, table: np.ndarray, hs: np.ndarray) -> int:
+        n, _ = table.shape
+        fps = self._fp(hs)
+        i1s = self._i1(hs, n)
+        removed = 0
+        for fp, i1 in zip(fps, i1s):
+            for idx in (int(i1), int(self._alt(np.int64(i1), np.uint16(fp), n))):
+                hit = np.where(table[idx] == fp)[0]
+                if len(hit):
+                    table[idx, hit[0]] = 0
+                    removed += 1
+                    break
+        return removed
+
+    # -- distributed API ---------------------------------------------------
+    def build(self, urls: DataFrame, hash_col: str = "url_hash") -> DataFrame:
+        ne, slots = self.n_entries, self.slots
+
+        def make(key, pdf: pd.DataFrame):
+            table = np.zeros((ne, slots), dtype=np.uint16)
+            hs = np.unique(pdf["h"].to_numpy(dtype=np.int64))
+            n_in = self._insert_many(table, hs)
+            return pd.DataFrame(
+                {
+                    "bucket": [int(key[0])],
+                    "table": [table.tobytes()],
+                    "n_entries": [ne],
+                    "slots": [slots],
+                    "n_items": [n_in],
+                }
+            )
+
+        prep = urls.select(self.bucket_col(F.col(hash_col)).alias("bucket"), F.col(hash_col).alias("h"))
+        return prep.groupBy("bucket").applyInPandas(make, schema=self.SCHEMA)
+
+    def _apply(self, state: DataFrame, items: DataFrame, hash_col: str, op: str) -> DataFrame:
+        ne, slots = self.n_entries, self.slots
+
+        def step(key, new_pdf: pd.DataFrame, st_pdf: pd.DataFrame):
+            if len(st_pdf):
+                table = (
+                    np.frombuffer(st_pdf["table"].iloc[0], dtype=np.uint16)
+                    .reshape(int(st_pdf["n_entries"].iloc[0]), int(st_pdf["slots"].iloc[0]))
+                    .copy()
+                )
+                n = int(st_pdf["n_items"].iloc[0])
+            else:
+                table = np.zeros((ne, slots), dtype=np.uint16)
+                n = 0
+            hs = np.unique(new_pdf["h"].to_numpy(dtype=np.int64))
+            if op == "insert":
+                n += self._insert_many(table, hs)
+            else:
+                n -= self._delete_many(table, hs)
+            return pd.DataFrame(
+                {
+                    "bucket": [int(key[0])],
+                    "table": [table.tobytes()],
+                    "n_entries": [table.shape[0]],
+                    "slots": [table.shape[1]],
+                    "n_items": [n],
+                }
+            )
+
+        new = items.select(self.bucket_col(F.col(hash_col)).alias("bucket"), F.col(hash_col).alias("h"))
+        return (
+            new.groupBy("bucket")
+            .cogroup(state.groupBy("bucket"))
+            .applyInPandas(step, schema=self.SCHEMA)
+        )
+
+    def insert(self, state: DataFrame, items: DataFrame, hash_col: str = "url_hash") -> DataFrame:
+        return self._apply(state, items, hash_col, "insert")
+
+    def delete(self, state: DataFrame, items: DataFrame, hash_col: str = "url_hash") -> DataFrame:
+        """Remove items so their urls may be re-admitted later — the
+        operation a bloom sketch cannot do."""
+        return self._apply(state, items, hash_col, "delete")
+
+    def probe(self, candidates: DataFrame, state: DataFrame, hash_col: str = "url_hash") -> DataFrame:
+        """Adds ``maybe_seen``; cogrouped per shard like SeenState."""
+        out_schema = T.StructType(
+            [T.StructField(f.name, f.dataType, True) for f in candidates.schema.fields]
+            + [T.StructField("maybe_seen", T.BooleanType(), True)]
+        )
+
+        def check(key, cand: pd.DataFrame, st: pd.DataFrame):
+            cand = cand.drop(columns="__bucket")
+            if len(cand) == 0:
+                cand["maybe_seen"] = pd.Series([], dtype=bool)
+                return cand
+            hs = cand[hash_col].to_numpy(dtype=np.int64)
+            if len(st):
+                table = np.frombuffer(st["table"].iloc[0], dtype=np.uint16).reshape(
+                    int(st["n_entries"].iloc[0]), int(st["slots"].iloc[0])
+                )
+                cand["maybe_seen"] = self._contains(table, hs)
+            else:
+                cand["maybe_seen"] = np.zeros(len(hs), dtype=bool)
+            return cand
+
+        cand = candidates.withColumn("__bucket", self.bucket_col(F.col(hash_col)))
+        return (
+            cand.groupBy("__bucket")
+            .cogroup(state.groupBy(F.col("bucket").alias("__bucket")))
+            .applyInPandas(check, schema=out_schema)
+        )
