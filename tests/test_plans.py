@@ -1,0 +1,76 @@
+"""Physical-plan shape assertions (SURVEY.md §4): the optimizations the
+engine depends on at 100 TB must be visible in the plan at any sf —
+filters reaching the parquet scan, dimension joins broadcast, codegen
+covering the hot expressions, and the pages fact side never shuffled by
+the fetch join.  These are regression tests: a refactor that silently
+turns a broadcast join into a sort-merge shuffle fails here, not in a
+cluster bill."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_claim_filter_pushdown(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["claim_filter"](spark, SF))
+    assert "PushedFilters:" in plan
+    # both predicates reach the parquet scan
+    assert "o_orderstatus" in plan.split("PushedFilters:")[1][:300]
+    assert "o_totalprice" in plan.split("PushedFilters:")[1][:300]
+
+
+def test_claim_filter_column_pruning(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["claim_filter"](spark, SF))
+    # ReadSchema restricted to the 3 projected + filtered columns
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "o_orderkey" in read and "o_custkey" in read and "o_totalprice" in read
+    assert "o_comment" not in read  # untouched wide column pruned
+
+
+def test_login_info_dims_broadcast(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["login_info_5way"](spark, SF))
+    # nation + region are broadcast; the lineitem fact side must never be
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    # partial+final hash aggregation (map-side combine before the exchange)
+    assert "partial_count" in plan or plan.count("HashAggregate") >= 2
+
+
+def test_fetch_join_broadcasts_claimed_not_pages(spark):
+    from tripwire_spark.operators.crawl import fetch_extract
+    from tripwire_spark.operators.frontier import build_frontier
+    from tripwire_spark.sources.synth import BLACKLIST_PATTERNS, synth_pages
+
+    seeds = spark.range(50).select(
+        (F.col("id") + 1).cast("int").alias("alexa"),
+        F.format_string("site%04d.test/p1", F.col("id")).alias("url"),
+        F.col("id").alias("file_order"),
+    )
+    claimed = build_frontier(seeds, BLACKLIST_PATTERNS)
+    pages = synth_pages(spark, n_hosts=50, n_pages=3, n_links=3)
+    plan = _plan(fetch_extract(claimed, pages))
+    # the claimed (frontier) side is the build side of a broadcast hash
+    # join; a sort-merge join here would shuffle the 100 TB pages table
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_politeness_aggregates_map_side(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["tpch_q1"](spark, SF))
+    # partial aggregation before the exchange (map-side combine)
+    assert plan.count("HashAggregate") >= 2
+    assert "PushedFilters:" in plan
