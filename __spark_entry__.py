@@ -691,6 +691,106 @@ def q_form_discovery(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# formfiller (C19 + W6 + A5/verification) — formfiller/expressions.js:1-224,
+# formfiller.js:296-377,703-742, tripwire.js:269-287
+
+# 16 deterministic field specs (id, name, value, type, tag, label,
+# placeholder, near_text); NULL = undefined attr.  Spec s = custkey % 16.
+_FIELD_SPECS: list[tuple] = [
+    ("email", "email", None, "email", "input", None, None, None),
+    ("user_name", "username", None, "text", "input", "Username", None, None),
+    ("pass", "password", None, "password", "input", None, None, None),
+    ("first_name", "fname", None, "text", "input", "First name", None, None),
+    ("lastname", "surname", None, "text", "input", "Last name", None, None),
+    ("phone_number", "phone", None, "tel", "input", None, None, None),
+    ("dob_month", "birth_month", None, "text", "input", None, None, None),
+    ("captcha_input", "captcha", None, "text", "input", "Enter the security code", None, None),
+    ("zip", "zipcode", None, "text", "input", "ZIP / Postal code", None, None),
+    ("sex", "gender", None, None, "select", None, None, None),
+    ("country", "country_code", None, "text", "input", "Country", None, None),
+    ("address1", "street_address", None, "text", "input", "Street address", None, None),
+    ("city", "town", None, "text", "input", None, None, "City / Town"),
+    ("agree_terms", "terms", "yes", "checkbox", "input", None, None, None),
+    ("submit_btn", "signup", "Sign up!", "submit", "input", None, None, None),
+    ("bday_year", "year", None, "text", "input", None, "YYYY", None),
+]
+
+_FIELD_ATTR_NAMES = ["id", "name", "value", "type", "tag", "label", "placeholder", "near_text"]
+
+
+def _synth_fields(spark: SparkSession, sf: str) -> DataFrame:
+    c = _t(spark, sf, "customer")
+    s = (F.pmod(F.col("c_custkey"), F.lit(16)) + 1).cast("int")
+    cols = [F.col("c_custkey").alias("custkey")]
+    for ai, attr in enumerate(_FIELD_ATTR_NAMES):
+        arr = F.array(*[F.lit(spec[ai]).cast("string") for spec in _FIELD_SPECS])
+        cols.append(F.element_at(arr, s).alias(attr))
+    return c.select(*cols)
+
+
+def _fields_cte() -> str:
+    """The DuckDB twin of _synth_fields."""
+    picks = []
+    for ai, attr in enumerate(_FIELD_ATTR_NAMES):
+        vals = ", ".join(
+            "NULL" if spec[ai] is None else "'" + spec[ai] + "'" for spec in _FIELD_SPECS
+        )
+        picks.append(f'([{vals}])[(c_custkey % 16) + 1] AS "{attr}"')
+    return "SELECT c_custkey AS custkey, " + ", ".join(picks) + " FROM customer"
+
+
+def _patterns_values_sql() -> str:
+    """Attr-expanded pattern table as a VALUES list (expressions.js:1-224
+    via formfill.EXPANDED_PATTERNS — DuckDB re-runs every regex with its
+    own engine, so matching itself is independently verified)."""
+    from tripwire_spark.functions.formfill import EXPANDED_PATTERNS
+
+    rows = ", ".join(
+        f"({o}, '{pt}', '{a}', '{rx}', {w}, {str(d).lower()})"
+        for (o, pt, pi, a, rx, w, d) in EXPANDED_PATTERNS
+    )
+    return f"pat(ord, ptype, attr, pattern, weight, die_on_fail) AS (VALUES {rows})"
+
+
+def q_field_pattern_match(spark: SparkSession, sf: str) -> DataFrame:
+    # C19: every (field, pattern, attr) match (formfiller.js:296-377)
+    from tripwire_spark.functions.formfill import field_pattern_matches
+
+    return field_pattern_matches(_synth_fields(spark, sf), ["custkey"])
+
+
+def q_field_best_pattern(spark: SparkSession, sf: str) -> DataFrame:
+    # W6: best pattern per field (formfiller.js:703-710); oracle is
+    # hand-traced per spec
+    from tripwire_spark.functions.formfill import best_field_pattern, field_pattern_matches
+
+    m = field_pattern_matches(_synth_fields(spark, sf), ["custkey"])
+    return best_field_pattern(m, ["custkey"]).select(
+        "custkey", "ptype", "attr", "pattern", "weight", "die_on_fail"
+    )
+
+
+def q_fill_plan(spark: SparkSession, sf: str) -> DataFrame:
+    # The fill walk (formfiller.js:714-742): first valued type in
+    # (weight desc, ord) order; buttons trivial; captcha-only unfilled
+    from tripwire_spark.functions.formfill import fill_plan
+
+    return fill_plan(_synth_fields(spark, sf), ["custkey"])
+
+
+def q_form_fill_report(spark: SparkSession, sf: str) -> DataFrame:
+    # A5 fill-pct + required-set verification (tripwire.js:269-287) per
+    # form (form = 16 consecutive custkeys)
+    from tripwire_spark.functions.formfill import fill_plan, form_fill_report
+
+    fields = _synth_fields(spark, sf).withColumn(
+        "fid", F.floor(F.col("custkey") / 16).cast("long")
+    )
+    plan = fill_plan(fields, ["fid", "custkey"])
+    return form_fill_report(plan, ["fid"])
+
+
 _ADJS = ["Quick", "Calm", "Brave", "Sly", "Merry", "Stout", "Keen", "Wry"]
 _NOUNS = ["Otter", "Falcon", "Maple", "Comet", "Harbor", "Pebble", "Willow", "Drift"]
 
@@ -756,6 +856,10 @@ def q_gid_sharding(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "field_pattern_match": q_field_pattern_match,
+    "field_best_pattern": q_field_best_pattern,
+    "fill_plan": q_fill_plan,
+    "form_fill_report": q_form_fill_report,
     "credentials": q_credentials,
     "dob_phone_formats": q_dob_phone_formats,
     "gid_sharding": q_gid_sharding,
@@ -1174,6 +1278,75 @@ ORACLES.update(
             ORDER BY ts DESC, event_id DESC LIMIT 10
         """,
         "distinct_segments": "SELECT DISTINCT c_mktsegment FROM customer",
+    }
+)
+
+
+ORACLES.update(
+    {
+        # C19: DuckDB re-runs every expanded pattern with its own regex
+        # engine over the same synthesized fields.
+        "field_pattern_match": f"""
+            WITH fields AS ({_fields_cte()}),
+            {_patterns_values_sql()},
+            m AS (
+              SELECT f.custkey, p.ord, p.ptype, p.attr, p.pattern, p.weight, p.die_on_fail,
+                     CASE p.attr WHEN 'id' THEN f."id" WHEN 'name' THEN f."name"
+                          WHEN 'value' THEN f."value" WHEN 'type' THEN f."type"
+                          WHEN 'tag' THEN f."tag" WHEN 'label' THEN f."label"
+                          WHEN 'placeholder' THEN f."placeholder"
+                          ELSE f."near_text" END AS av
+              FROM fields f CROSS JOIN pat p)
+            SELECT custkey, CAST(ord AS INTEGER) AS ord, ptype, attr, pattern,
+                   CAST(weight AS DOUBLE) AS weight, die_on_fail
+            FROM m WHERE av IS NOT NULL AND regexp_matches(av, pattern, 'i')
+        """,
+        # W6: hand-traced winner per spec (weight desc, declaration
+        # order ties); spec 14 (submit button) matches nothing.
+        "field_best_pattern": """
+            WITH sp AS (SELECT c_custkey AS custkey, c_custkey % 16 AS s FROM customer)
+            SELECT custkey,
+              (['email','username','password','firstname','lastname','phone','month','captcha',
+                'zip','sex','country','address','city','checkboxes',NULL,'year'])[s+1] AS ptype,
+              (['type','id','type','id','id','id','id','id',
+                'id','id','id','id','id','type',NULL,'placeholder'])[s+1] AS attr,
+              (['email','user.*name','password','.*first.*name.*','.*last.*name.*','phone',
+                '.*month.*','captcha','(zip|(post.*code))','(sex|gender)','.*country.*',
+                '.*address.*','city','checkbox',NULL,'.*yy'])[s+1] AS pattern,
+              CAST(([10,2,5,3,3,3,2,5,0,0,0,6,2,8,NULL,2])[s+1] AS DOUBLE) AS weight,
+              s IN (0, 2) AS die_on_fail
+            FROM sp WHERE s <> 14
+        """,
+        # Fill walk: captcha-only field (spec 7) stays unfilled (no
+        # configured value); button (spec 14) trivially succeeds.
+        "fill_plan": """
+            WITH sp AS (SELECT c_custkey AS custkey, c_custkey % 16 AS s FROM customer)
+            SELECT custkey,
+              (['email','username','password','firstname','lastname','phone','month',NULL,
+                'zip','sex','country','address','city','checkboxes',NULL,'year'])[s+1] AS fill_type,
+              s <> 7 AS filled,
+              s = 14 AS is_button
+            FROM sp
+        """,
+        # Forms missing the email spec die on the required set
+        # (tripwire.js:269-287); everything else clears 55%.
+        "form_fill_report": """
+            WITH sp AS (SELECT c_custkey AS custkey,
+                               CAST(FLOOR(c_custkey / 16) AS BIGINT) AS fid,
+                               c_custkey % 16 AS s
+                        FROM customer),
+            agg AS (
+              SELECT fid, count(*) AS n_fields,
+                     CAST(sum(CASE WHEN s <> 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+                     round(sum(CASE WHEN s <> 7 THEN 1 ELSE 0 END) * 100.0 / count(*), 1) AS fill_pct,
+                     bool_or(s = 0) AS has_email, bool_or(s = 2) AS has_password
+              FROM sp GROUP BY fid)
+            SELECT fid, n_fields, n_filled, fill_pct,
+                   CASE WHEN NOT has_email OR NOT has_password THEN 'missing_required'
+                        WHEN fill_pct < 55 THEN 'below_threshold'
+                        ELSE 'ok' END AS status
+            FROM agg
+        """,
     }
 )
 

@@ -60,6 +60,60 @@ def test_ann_lsh_recall(spark):
     assert len(ann & brute) / len(brute) >= 0.6  # 16-bit LSH recall floor
 
 
+def test_minhash_plan_has_no_allpairs_shingle_join(spark, docs):
+    """The LSH must PRUNE: verification intersects shingle sets only for
+    candidate pairs.  A join keyed on the bare shingle column is the
+    quadratic all-pairs plan (the round-1 regression)."""
+    import re
+
+    from tripwire_spark.operators.dedup import minhash_dedup_pairs
+
+    plan = (
+        minhash_dedup_pairs(docs, "doc", "text")
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    for line in plan.splitlines():
+        if "Join" in line and re.search(r"shingle#\d+ = shingle#\d+", line):
+            assert "doc_" in line, f"bare-shingle self-join in plan: {line}"
+
+
+def test_embedding_bucketed_equals_brute(spark):
+    from tripwire_spark.operators.dedup import embedding_dup_pairs, embedding_dup_pairs_brute
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    pert = e.filter(F.pmod("vec_id", F.lit(50)) == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.slice(F.col("embedding").cast("array<double>"), 1, 1),
+            F.array(F.element_at(F.col("embedding").cast("array<double>"), 2) + F.lit(0.5)),
+            F.slice(F.col("embedding").cast("array<double>"), 3, 62),
+        ).alias("embedding"),
+    )
+    aug = e.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")).unionAll(pert)
+    brute = {(r.id_a, r.id_b) for r in embedding_dup_pairs_brute(aug, "vec_id", "embedding", 0.9).collect()}
+    lsh = {(r.id_a, r.id_b) for r in embedding_dup_pairs(aug, "vec_id", "embedding", 0.9).collect()}
+    assert len(brute) > 0
+    # (16 tables x 4 bits) miss prob at cos>=0.9 is ~4e-6 per pair;
+    # verification kills all false positives, so the sets are equal
+    assert lsh == brute
+
+
+def test_embedding_bucketed_plan_not_cartesian(spark):
+    from tripwire_spark.operators.dedup import embedding_dup_pairs
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = (
+        embedding_dup_pairs(e, "vec_id", "embedding", 0.9)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_exact_jaccard_symmetric_threshold(spark, docs):
     from tripwire_spark.operators.dedup import exact_jaccard_pairs, shingles
 

@@ -31,7 +31,8 @@ _INVISIBLE = {"script", "style", "head", "noscript", "template"}
 
 
 class _TextAndLinks(HTMLParser):
-    """Single-pass extractor: title, visible body text, anchors, forms."""
+    """Single-pass extractor: title, visible body text, anchors, forms,
+    per-field attrs (formfiller C19 inputs), and label[for] text."""
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
@@ -39,11 +40,37 @@ class _TextAndLinks(HTMLParser):
         self.body_parts: list[str] = []
         self.links: list[tuple[str, str]] = []  # (href, text)
         self.forms: list[dict] = []
+        self.fields: list[dict] = []  # per input/select/button element
+        self.labels: dict[str, str] = {}  # label[for] -> first label text
         self._stack: list[str] = []
         self._cur_link: list[str] | None = None
         self._cur_href: str | None = None
         self._cur_form: dict | None = None
         self._cur_button: list[str] | None = None
+        self._cur_label_for: str | None = None
+        self._cur_label: list[str] | None = None
+        self._last_text: str = ""  # nearest preceding visible text run
+
+    def _push_field(self, tag: str, a: dict) -> None:
+        # near_text approximates cliGetNearbyText's parent-walk
+        # (formfiller.js:256-279): the nearest text run before the
+        # element, accepted only within the same [3, 26] length gate.
+        near = self._last_text.strip()
+        if not (3 <= len(near) <= 26):
+            near = ""
+        self.fields.append(
+            {
+                "form_pos": len(self.forms),
+                "pos": len(self.fields),
+                "id": a.get("id"),
+                "name": a.get("name"),
+                "value": a.get("value"),
+                "type": a.get("type"),
+                "tag": tag,
+                "placeholder": a.get("placeholder"),
+                "near_text": near,
+            }
+        )
 
     # -- tag handling ----------------------------------------------------
     def handle_starttag(self, tag, attrs):
@@ -62,7 +89,13 @@ class _TextAndLinks(HTMLParser):
                 "n_visible": 0,
                 "buttons": [],
             }
+        elif tag == "label":
+            self._cur_label_for = a.get("for")
+            self._cur_label = []
+        elif tag in ("select", "textarea") and self._cur_form is not None:
+            self._push_field(tag, a)
         elif tag == "input" and self._cur_form is not None:
+            self._push_field(tag, a)
             self._cur_form["n_inputs"] += 1
             typ = (a.get("type") or "text").lower()
             if typ == "password":
@@ -78,6 +111,7 @@ class _TextAndLinks(HTMLParser):
         elif tag == "button":
             self._cur_button = []
             if self._cur_form is not None:
+                self._push_field(tag, a)
                 self._cur_form["buttons"].append(
                     " ".join(x for x in (a.get("name"), a.get("id"), a.get("value"), a.get("class")) if x)
                 )
@@ -96,6 +130,22 @@ class _TextAndLinks(HTMLParser):
             self._cur_form = None
         elif tag == "button" and self._cur_button is not None:
             self._cur_button = None  # button text is visible text, not a scored attr
+        elif tag == "label" and self._cur_label is not None:
+            if self._cur_label_for and self._cur_label_for not in self.labels:
+                # labels.first() semantics (formfiller.js:221-235)
+                self.labels[self._cur_label_for] = _WS.sub(" ", " ".join(self._cur_label)).strip()
+            self._cur_label = None
+            self._cur_label_for = None
+
+    def resolve_field_labels(self) -> None:
+        """label = label[for=id] first, else label[for=name], else ''
+        (formfiller.js:221-235 getLabelText)."""
+        for f in self.fields:
+            f["label"] = (
+                self.labels.get(f["id"] or "")
+                or self.labels.get(f["name"] or "")
+                or ""
+            )
 
     def handle_data(self, data):
         if not data:
@@ -109,10 +159,13 @@ class _TextAndLinks(HTMLParser):
             d = _WS.sub(" ", data).strip()
             if d:
                 self.body_parts.append(d)
+                self._last_text = d
                 if self._cur_link is not None:
                     self._cur_link.append(d)
                 if self._cur_button is not None:
                     self._cur_button.append(d)
+                if self._cur_label is not None:
+                    self._cur_label.append(d)
 
 
 def _parse(html: bytes | str | None) -> _TextAndLinks:
@@ -228,6 +281,42 @@ def extract_forms(html: pd.Series) -> pd.Series:
             }
             for i, f in enumerate(p.forms)
         ]
+
+    return html.map(one)
+
+
+FIELDS_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("form_pos", T.IntegerType()),
+            T.StructField("pos", T.IntegerType()),
+            T.StructField("id", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("value", T.StringType()),
+            T.StructField("type", T.StringType()),
+            T.StructField("tag", T.StringType()),
+            T.StructField("label", T.StringType()),
+            T.StructField("placeholder", T.StringType()),
+            T.StructField("near_text", T.StringType()),
+        ]
+    )
+)
+
+
+@F.pandas_udf(FIELDS_TYPE)
+def extract_form_fields(html: pd.Series) -> pd.Series:
+    """C19 inputs: per-field attr rows, the batch analog of
+    getFormElementInfo + findApplicablePatterns' field collection
+    (formfiller.js:296-311).  NULL attr = undefined (skipped by the
+    matcher); label/near_text are '' when absent, matching
+    getLabelText/cliGetNearbyText returning empty strings."""
+
+    def one(h):
+        if h is None:
+            return []
+        p = _parse(h)
+        p.resolve_field_labels()
+        return p.fields
 
     return html.map(one)
 

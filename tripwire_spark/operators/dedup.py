@@ -106,6 +106,33 @@ def lsh_candidates(sigs: DataFrame, bands: int = 32, rows: int = 2) -> DataFrame
     )
 
 
+def candidate_jaccard(cands: DataFrame, sh: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """Exact Jaccard for CANDIDATE pairs only — the sub-quadratic verify.
+
+    The shingle table is joined to the candidate pairs on each side
+    (doc_a, then (doc_b, shingle)), so intersections are computed only
+    where LSH proposed a pair.  Both joins are linear in
+    |candidate-pair shingles|; the all-pairs shingle self-join of
+    ``exact_jaccard_pairs`` never happens.
+    """
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc").alias("doc_b"), "shingle")
+    inter = (
+        cands.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a")
+        .join(sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     id_col: str,
@@ -116,16 +143,19 @@ def minhash_dedup_pairs(
     rows: int = 2,
     threshold: float = 0.8,
 ) -> DataFrame:
-    """Full pipeline: shingle -> minhash -> band join -> EXACT verify.
+    """Full pipeline: shingle -> minhash -> band join -> verify
+    candidates only.
 
     Output pairs carry exact Jaccard (candidates are verified, so false
-    positives from banding never escape; recall is 1-(1-t^r)^b).
+    positives from banding never escape; recall is 1-(1-t^r)^b).  The
+    verification step intersects shingle sets ONLY for LSH candidate
+    pairs (``candidate_jaccard``) — this is what makes MinHash-LSH
+    sub-quadratic; tests/test_plans.py pins that no bare-shingle-key
+    self-join remains in the plan.
     """
     sh = shingles(df, id_col, text_col, n)
     cands = lsh_candidates(minhash_signatures(sh, k), bands, rows)
-    exact = exact_jaccard_pairs(sh, threshold)
-    # verify = semi join exact pairs against candidates
-    return exact.join(cands, ["doc_a", "doc_b"], "left_semi")
+    return candidate_jaccard(cands, sh, threshold)
 
 
 # --- SimHash -------------------------------------------------------------
@@ -191,14 +221,57 @@ def cosine(a, b):  # Column helper
     return dot / (na * nb)
 
 
-def embedding_dup_pairs(emb: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95) -> DataFrame:
-    """All-pairs cosine >= threshold (correctness baseline; the scale
-    path buckets by sign-LSH first — similarity.py)."""
+def embedding_dup_pairs_brute(
+    emb: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
+) -> DataFrame:
+    """All-pairs cosine >= threshold — the quadratic VERIFIER used by
+    tests to check the bucketed path's recall; never the scale path."""
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb"))
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    )
+
+
+def embedding_dup_pairs(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_tables: int = 16,
+    bits: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Sign-LSH-bucketed near-dup pair mining + exact cosine verify.
+
+    Candidates = pairs sharing >=1 of ``n_tables`` sign-LSH bucket keys
+    (deterministic hyperplanes — similarity.lsh_table_keys), then exact
+    cosine on candidates only.  Miss probability per pair is
+    (1 - (1 - acos(cos)/pi)^bits)^n_tables — ~4e-6 at cos=0.9 with
+    (16, 4) — vs the crossJoin's O(n^2) row blow-up.  The bucket join
+    shuffles only (key, id); vectors are joined back by id for the
+    verify, so the wide embedding column is never part of the
+    candidate-pair shuffle.
+    """
+    from tripwire_spark.operators.similarity import lsh_table_keys  # local: avoids import cycle
+
+    keys = lsh_table_keys(dim, n_tables, bits)
+    v = emb.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+    bucketed = v.select("id", F.explode(keys(F.col("v"))).alias("key"))
+    cands = (
+        bucketed.alias("x")
+        .join(bucketed.alias("y"), "key")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    return (
+        cands.join(v.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a")
+        .join(v.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
         .withColumn("cos", cosine(F.col("va"), F.col("vb")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
