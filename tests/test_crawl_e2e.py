@@ -107,10 +107,13 @@ def test_crawl_end_to_end(spark, fixture_tables, tmp_path):
     )
     assert r1 == golden
 
-    # 6. Discovered URLs exist and carry deterministic round-tagged qids.
+    # 6. Discovered URLs exist; qid = the full 64-bit url_hash (unique
+    #    among discoveries by seen-set construction), and the frontier's
+    #    compound key (qid, round_added) is unique overall.
     disc = frontier.filter(F.col("round_added") >= 1)
     assert disc.count() > 0
-    assert disc.filter(F.col("qid") < (1 << 40)).count() == 0
+    assert disc.filter(F.col("qid") != F.col("url_hash")).count() == 0
+    assert frontier.count() == frontier.select("qid", "round_added").distinct().count()
     frontier.unpersist()
 
 

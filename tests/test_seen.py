@@ -110,6 +110,35 @@ def test_cuckoo_delete_readmits(spark):
     assert ck.probe(b, state3).filter(~F.col("maybe_seen")).count() == 0
 
 
+def test_cuckoo_high_load_no_false_negatives(spark):
+    """Regression: the primary index must not be derived from the same
+    low bits as the shard key (both mod powers of two), or each shard
+    collapses to n_entries/n_buckets usable entries and silently drops
+    items well below nominal load."""
+    from tripwire_spark.operators.seen import CuckooSeenSet
+
+    ck = CuckooSeenSet(n_buckets=64, capacity=60_000)  # ~76% shard load below
+    seen = _urls(spark, 0, 50_000)
+    state = ck.build(seen).persist()
+    # every inserted item must be reported stored...
+    assert sum(r.n_items for r in state.collect()) == seen.select("url_hash").distinct().count()
+    # ...and must probe as seen
+    assert ck.probe(seen, state).filter(~F.col("maybe_seen")).count() == 0
+
+
+def test_cuckoo_reinsert_is_idempotent(spark):
+    """Insert of already-present hashes must not store duplicate
+    fingerprints: one delete then removes the item completely."""
+    from tripwire_spark.operators.seen import CuckooSeenSet
+
+    ck = CuckooSeenSet(n_buckets=8, capacity=50_000)
+    b = _urls(spark, 0, 1000).persist()
+    state = ck.insert(ck.build(b), b).persist()  # second insert is a no-op
+    assert sum(r.n_items for r in state.collect()) == 1000
+    gone = ck.delete(state, b)
+    assert ck.probe(b, gone).filter(F.col("maybe_seen")).count() == 0
+
+
 def test_cuckoo_incremental_matches_full_build(spark):
     from tripwire_spark.operators.seen import CuckooSeenSet
 

@@ -19,14 +19,13 @@ Per round:
    ONE cogrouped seen-state pass (seen.py SeenState.admit): in-round
    dedup + membership + bloom/hash-state update in a single shuffle —
    D7 / F2 analog
-5. settle: status transitions (T2), lazy monotone qid assignment for
-   discoveries, fetch_log (S10) + decision_log (S9) appends
+5. settle: status transitions (T2), hash-derived qids for discoveries,
+   fetch_log (S10) + decision_log (S9) appends
 6. snapshot commit per state table (= Iceberg snapshot per round;
    resume = read latest committed round).
 
 Stage budget: ~10 stages / 3 driver actions per round (politeness
-windows, fetch+extract+admit chain, id range-shuffle, settle
-checkpoint).  Keeping this count low matters as much on a 1000-executor
+windows, fetch+extract+admit chain, settle checkpoint).  Keeping this count low matters as much on a 1000-executor
 cluster as locally: the frontier loop is latency-bound on scheduler
 round-trips, not data volume, once the per-round claim set is bounded.
 """
@@ -38,7 +37,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from tripwire_spark.functions.html import extract_links, extract_page, extract_text
+from tripwire_spark.functions.html import extract_page
 from tripwire_spark.functions.scoring import link_weight
 from tripwire_spark.functions.urls import reg_domain, resolve_canonicalize, url_hash, url_host
 from tripwire_spark.operators.frontier import (
@@ -52,82 +51,17 @@ from tripwire_spark.operators.frontier import (
 )
 from tripwire_spark.sources.snapshots import SnapshotTable
 
-# Discovered URLs get qids above every seed qid: round r base = r << 57,
-# low 57 bits = url_hash (unique frontier-wide by seen-set construction).
+# Discovered URLs carry qid = their FULL 64-bit url_hash — unique among
+# discoveries by seen-set construction (each hash is admitted exactly
+# once; a 64-bit collision between distinct urls is already collapsed by
+# the hash-keyed seen set itself).  Seeds carry qid = file_order (round
+# 0).  A seed's small qid could numerically equal some discovery's hash,
+# so THE FRONTIER KEY IS THE COMPOUND (qid, round_added) — settle and
+# miss-detection join on both columns.  Truncating the hash (the old
+# round<<57 | hash%2^57 encoding) collided within a round at ~10^10
+# scale and overflowed int64 at round 64; neither can happen now.
 # Claim ORDER does not ride on qid for discoveries — politeness ranks by
 # the explicit (round_added, weight desc, qid) key (frontier.claim_order).
-ROUND_QID_BASE = 1 << 57
-
-
-def fetch_pages(claimed: DataFrame, pages: DataFrame, persist: bool = True) -> tuple[DataFrame, DataFrame]:
-    """J11: the 'page load' as an equi-join on canonical url.
-
-    The pages side is the 100 TB fact table and is NEVER shuffled.  A
-    plain left join could not broadcast its outer (claimed) side, so it
-    would sort-merge-shuffle the whole pages table; instead:
-
-    - hits  = broadcast(claimed) INNER JOIN pages — the scan streams
-      past a broadcast hash table of one round's claims (bounded by
-      |hosts| x budget);
-    - misses = claimed LEFT ANTI hits on qid — both sides tiny.
-
-    Downstream extraction is per-row (no host co-location needed); AQE
-    coalesces post-join partitions.  Host skew is defused inside
-    politeness_schedule (two-phase salted ranking).  Assumes ``pages``
-    holds one canonical snapshot row per url (dedup-at-ingest, like the
-    reference's one-live-page-per-fetch).
-    """
-    pg = pages.select(
-        F.col("url").alias("p_url"), "warc_ts", "html", F.col("text").alias("page_text"), "lang"
-    )
-    hits = (
-        claimed.hint("broadcast")
-        .join(pg, claimed["url"] == pg["p_url"], "inner")
-        .drop("p_url")
-        .withColumn("found", F.lit(True))
-    )
-    if persist:
-        # Pin hits so the pages scan runs exactly once per round (the
-        # miss anti-join and every downstream consumer read the cache).
-        hits = hits.persist()
-    misses = (
-        claimed.join(F.broadcast(hits.select("qid")), "qid", "left_anti")
-        .withColumn("warc_ts", F.lit(None).cast("timestamp"))
-        .withColumn("html", F.lit(None).cast("binary"))
-        .withColumn("page_text", F.lit(None).cast("string"))
-        .withColumn("lang", F.lit(None).cast("string"))
-        .withColumn("found", F.lit(False))
-    )
-    return hits.unionByName(misses), hits
-
-
-def extract_round(fetched: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Returns (results, discovered_links).
-
-    results: (qid, url, round, text, lang) — ``text`` is re-extracted
-    from html (NOT copied from the pages table), so the byte-identical
-    invariant is enforced by construction and testable against the
-    independent generator.
-    """
-    hits = fetched.filter(F.col("found"))
-    results = hits.select(
-        "qid",
-        "url",
-        extract_text("html").alias("text"),
-        "lang",
-        "warc_ts",
-    )
-    links = (
-        hits.select("qid", "url", F.explode(extract_links("html")).alias("l"))
-        .select(
-            F.col("qid").alias("parent_qid"),
-            F.col("url").alias("parent_url"),
-            F.col("l.href").alias("href"),
-            F.col("l.text").alias("anchor_text"),
-            F.col("l.pos").alias("pos"),
-        )
-    )
-    return results, links
 
 
 def fetch_extract(claimed: DataFrame, pages: DataFrame) -> DataFrame:
@@ -163,10 +97,13 @@ def discover(
     """Score, filter, canonicalize, dedup, and seen-filter new links.
 
     Returns (new_frontier_rows, decision_log_rows, next_state).
-    Discovery order (and hence qid order) is pinned to
-    (-weight, parent_qid, pos): best-scoring links first, ties broken by
-    the FIFO order of the page that found them — the deterministic
-    analog of 'click the best link first' (pagefinder.js:122,246-249).
+    qids are hash-derived (qid = url_hash; see module header) and carry
+    no discovery order; claim priority rides the explicit
+    (round_added, weight desc, qid) key (frontier.claim_order).  The
+    (-weight, parent_qid, pos) order below only picks WHICH in-round
+    duplicate of a url survives dedup: best-scoring link first, ties by
+    the FIFO order of the page that found it — the deterministic analog
+    of 'click the best link first' (pagefinder.js:122,246-249).
 
     With a ``seen_state`` (SeenState), in-round dedup + membership test
     + state update collapse into ONE cogrouped pass (see seen.py);
@@ -217,14 +154,15 @@ def discover(
             "parent_qid",
             "pos",
         )
-    # Deterministic qid = round_base | url_hash mod 2^57.  The seen set
-    # guarantees a url enters the frontier exactly once, so url_hash is
-    # unique frontier-wide and the derived qid needs NO shuffle, NO
-    # sampling pass, and NO driver action (the reference's serial
-    # INCR-allocated qid exists only to order claims; claim priority is
-    # now the explicit (round_added, weight desc, qid) key instead).
+    # Deterministic qid = the full 64-bit url_hash.  The seen set
+    # guarantees a hash enters the frontier exactly once, so the qid is
+    # exactly as unique as the hash identity the whole engine keys on,
+    # and it needs NO shuffle, NO sampling pass, and NO driver action
+    # (the reference's serial INCR-allocated qid exists only to order
+    # claims; claim priority is the explicit (round_added, weight desc,
+    # qid) key, and the frontier's unique key is (qid, round_added)).
     new_rows = fresh.select(
-        (F.lit(round_no * ROUND_QID_BASE) + F.pmod("url_hash", F.lit(ROUND_QID_BASE))).alias("qid"),
+        F.col("url_hash").alias("qid"),
         F.col("curl").alias("url"),
         F.col("url_hash"),
         reg_domain(url_host("curl")).alias("host"),
@@ -334,10 +272,16 @@ def run_crawl(
         )
         claimed = claimed.persist()
         parsed = fetch_extract(claimed, pages).persist()
-        misses = claimed.join(F.broadcast(parsed.select("qid")), "qid", "left_anti")
+        # (qid, round_added) is the frontier's unique key — qid alone can
+        # collide between a seed (file_order) and a discovery (url_hash)
+        misses = claimed.join(
+            F.broadcast(parsed.select("qid", "round_added")), ["qid", "round_added"], "left_anti"
+        )
         fetched_meta = parsed.select(
-            "qid", "url", "host", "try", F.lit(True).alias("found")
-        ).unionByName(misses.select("qid", "url", "host", "try", F.lit(False).alias("found")))
+            "qid", "round_added", "url", "host", "try", F.lit(True).alias("found")
+        ).unionByName(
+            misses.select("qid", "round_added", "url", "host", "try", F.lit(False).alias("found"))
+        )
         round_results = parsed.select(
             "qid", "url", F.col("p.text").alias("text"), "lang", "warc_ts"
         )
@@ -359,7 +303,7 @@ def run_crawl(
             seen_state=seen_svc, state=seen_state_df, caches=round_caches,
         )
         # new_rows feeds the settled frontier (and the snapshot commit);
-        # without a pin its range-id shuffle runs once per consumer.
+        # pin it so its seen-state lineage isn't re-evaluated per consumer.
         new_rows = new_rows.persist()
         round_caches.append(new_rows)
 
@@ -375,7 +319,7 @@ def run_crawl(
 
         state.frontier = settle(
             state.frontier,
-            fetched_meta.select("qid", "try", "found"),
+            fetched_meta.select("qid", "round_added", "try", "found"),
             new_urls=new_rows,
             disabled=disabled,
         )
@@ -389,8 +333,11 @@ def run_crawl(
             # Snapshot commit truncates lineage: re-read what we wrote.
             n_claimed = claimed.count()
             if n_claimed == 0:
+                # drained: drop EVERY cache this round pinned (parsed,
+                # admitted, new_rows), not just claimed/parsed
                 claimed.unpersist()
-                parsed.unpersist()
+                for c in round_caches:
+                    c.unpersist()
                 state.rounds_run = r - 1
                 break
             summary = {"round": r, "claimed": n_claimed}
@@ -425,6 +372,9 @@ def run_crawl(
             # one no-op round instead of a per-round pre-check.
             if claimed.isEmpty():
                 claimed.unpersist()
+                # the lazy results/log DAGs still reference this round's
+                # caches — hand them to CrawlState.release(), don't leak
+                crawl_caches.extend(round_caches)
                 state.rounds_run = r - 1
                 break
 

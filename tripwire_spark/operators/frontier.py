@@ -163,38 +163,6 @@ def politeness_schedule(
     return claimed, disabled
 
 
-def salted_repartition(
-    df: DataFrame,
-    host_col: str = "host",
-    num_partitions: int | None = None,
-    salt_buckets: int = 16,
-    hot_threshold: int = 10_000,
-) -> DataFrame:
-    """Repartition by host hash with per-row salt for hot hosts.
-
-    Hosts above ``hot_threshold`` pending rows fan out over
-    ``salt_buckets`` partitions instead of one (SURVEY.md §4 #2) —
-    frontier-scheduling skew is ours to manage; AQE only fixes join skew.
-    The hot-host list is a tiny aggregate joined back via broadcast.
-    """
-    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    hot = (
-        df.groupBy(host_col)
-        .agg(F.count("*").alias("__cnt"))
-        .filter(F.col("__cnt") > hot_threshold)
-        .select(host_col, F.lit(True).alias("__hot"))
-    )
-    salted = (
-        df.join(F.broadcast(hot), host_col, "left")
-        .withColumn(
-            "__salt",
-            F.when(F.col("__hot").isNotNull(), F.pmod(F.xxhash64("url"), F.lit(salt_buckets))).otherwise(F.lit(0)),
-        )
-        .drop("__hot")
-    )
-    return salted.repartition(n, F.xxhash64(F.col(host_col), F.col("__salt"))).drop("__salt")
-
-
 def settle(
     frontier: DataFrame,
     claimed_outcomes: DataFrame,
@@ -210,19 +178,27 @@ def settle(
     - robots-blocked  -> disabled
     plus appended newly-discovered queued rows.
     """
+    # The frontier's unique key is the COMPOUND (qid, round_added): a
+    # seed's qid (file_order) may numerically equal a discovery's qid
+    # (url_hash), but never within the same round_added.
     outcome = claimed_outcomes.select(
         "qid",
+        "round_added",
         F.when(F.col("found"), F.lit(ST_COMPLETED))
         .when(F.col("try") < RETRY_MAX, F.lit(ST_QUEUED))
         .otherwise(F.lit(ST_FAILED))
         .alias("__new_status"),
         F.when(~F.col("found"), F.lit(1)).otherwise(F.lit(0)).alias("__try_inc"),
     )
-    dis = disabled.select("qid", F.lit(ST_DISABLED).alias("__dis")) if disabled is not None else None
+    dis = (
+        disabled.select("qid", "round_added", F.lit(ST_DISABLED).alias("__dis"))
+        if disabled is not None
+        else None
+    )
 
-    upd = frontier.join(outcome, "qid", "left")
+    upd = frontier.join(outcome, ["qid", "round_added"], "left")
     if dis is not None:
-        upd = upd.join(dis, "qid", "left")
+        upd = upd.join(dis, ["qid", "round_added"], "left")
         new_status = F.coalesce(F.col("__dis"), F.col("__new_status"), F.col("status"))
     else:
         new_status = F.coalesce(F.col("__new_status"), F.col("status"))

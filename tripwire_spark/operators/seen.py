@@ -432,13 +432,27 @@ class CuckooSeenSet:
     def _alt(idx: np.ndarray, fp: np.ndarray, n: int) -> np.ndarray:
         return (idx ^ (fp.astype(np.int64) * np.int64(0x5BD1E995))) % np.int64(n)
 
-    def _i1(self, hs: np.ndarray, n: int) -> np.ndarray:
-        return (hs % np.int64(n) + np.int64(n)) % np.int64(n)
+    @staticmethod
+    def _i1(hs: np.ndarray, n: int) -> np.ndarray:
+        # splitmix64 finalizer BEFORE the mod: the shard key is
+        # hs % n_buckets (low bits), and n is also a power of two, so a
+        # bare hs % n would collapse every shard's primary index to
+        # n / n_buckets distinct entries (losing items as false
+        # negatives at moderate load).  Mixing decorrelates the entry
+        # choice from the shard key.
+        with np.errstate(over="ignore"):
+            x = hs.astype(np.uint64)
+            x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            x = x ^ (x >> np.uint64(31))
+            return (x % np.uint64(n)).astype(np.int64)
 
     def _insert_many(self, table: np.ndarray, hs: np.ndarray) -> int:
         """Sequential per-item insert with deterministic kick walk.
-        Returns number inserted (drops items only past KICK_MAX — with
-        sane load factors this does not happen; callers surface it)."""
+        Returns number inserted.  A failed kick walk (table effectively
+        full) is UNDONE slot-by-slot so previously-stored fingerprints
+        are never lost — only the new item is dropped, and the caller
+        surfaces the count via n_items."""
         n, slots = table.shape
         fps = self._fp(hs)
         i1s = self._i1(hs, n)
@@ -460,9 +474,11 @@ class CuckooSeenSet:
             cur_idx, cur_fp = int(i1), int(fp)
             state = (cur_fp * 2654435761 + cur_idx) & 0x7FFFFFFF
             ok = False
+            path: list[tuple[int, int]] = []  # (entry, slot) swaps, in order
             for _ in range(self.KICK_MAX):
                 state = (state * 1103515245 + 12345) & 0x7FFFFFFF
                 slot = state % slots
+                path.append((cur_idx, slot))
                 cur_fp, table[cur_idx, slot] = int(table[cur_idx, slot]), cur_fp
                 cur_idx = int(self._alt(np.int64(cur_idx), np.uint16(cur_fp), n))
                 row = table[cur_idx]
@@ -473,6 +489,11 @@ class CuckooSeenSet:
                     break
             if ok:
                 inserted += 1
+            else:
+                # roll the walk back: every displaced fingerprint returns
+                # to its slot; the table is exactly as before this item
+                for idx, slot in reversed(path):
+                    cur_fp, table[idx, slot] = int(table[idx, slot]), cur_fp
         return inserted
 
     def _contains(self, table: np.ndarray, hs: np.ndarray) -> np.ndarray:
@@ -535,6 +556,13 @@ class CuckooSeenSet:
                 n = 0
             hs = np.unique(new_pdf["h"].to_numpy(dtype=np.int64))
             if op == "insert":
+                # membership check first: re-inserting an already-present
+                # hash would store a duplicate fingerprint (consuming
+                # capacity and breaking one-delete-one-copy semantics).
+                # Residual caveat: a genuinely-new hash aliasing an
+                # existing (fp, entry) pair is skipped — indistinguishable
+                # from a filter false positive, same ~1.2e-4 rate.
+                hs = hs[~self._contains(table, hs)]
                 n += self._insert_many(table, hs)
             else:
                 n -= self._delete_many(table, hs)
