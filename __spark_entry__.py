@@ -692,6 +692,257 @@ def q_form_discovery(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# round-2 gap batch: F11, J7, C13, A1, F13, T4, O2, S6, F10, D2, J3/F6, C15
+
+
+def q_recaptcha_filter(spark: SparkSession, sf: str) -> DataFrame:
+    # F11: the recaptcha kill-switch (tripwire.js:122-134) ahead of fill
+    from tripwire_spark.functions.formfill import recaptcha_gate
+
+    o = _t(spark, sf, "orders")
+    html = F.when(
+        F.pmod(F.col("o_orderkey"), F.lit(4)) == 0,
+        F.concat(F.lit('<form id="f'), F.col("o_orderkey"), F.lit('"><div class="g-recaptcha"></div></form>')),
+    ).otherwise(F.concat(F.lit('<form id="f'), F.col("o_orderkey"), F.lit('"><input name="email"></form>')))
+    pages = o.select(F.col("o_orderkey").alias("umid"), html.alias("html"))
+    return recaptcha_gate(pages).select("umid", "html")
+
+
+def q_nested_anti_join(spark: SparkSession, sf: str) -> DataFrame:
+    # J7: the two-step semi-then-anti mail dequeue exclusion
+    # (handle_email.py:676-688): parts are eligible unless mapped (via
+    # lineitem) to a supplier in a 'running' nation
+    p = _t(spark, sf, "part")
+    l = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    running = s.filter(F.col("s_nationkey") < 5).select("s_suppkey")
+    mapped = l.join(running, l["l_suppkey"] == running["s_suppkey"], "left_semi").select(
+        F.col("l_partkey").alias("p_partkey")
+    )
+    return p.join(mapped, "p_partkey", "left_anti").select("p_partkey", "p_name")
+
+
+def q_select_payload(spark: SparkSession, sf: str) -> DataFrame:
+    # C13: multipart payload selection — prefer text/plain (w1) over
+    # text/html (w5), recursing with min weight (handle_email.py:303-327)
+    from tripwire_spark.functions.mail import select_payload
+
+    o = _t(spark, sf, "orders").filter(F.pmod(F.col("o_orderkey"), F.lit(10)) < 2)
+    k = F.col("o_orderkey")
+    plain = F.concat(F.lit("plain body "), k)
+    htmlb = F.concat(F.lit("<p>html body "), k, F.lit("</p>"))
+    multi = F.concat(
+        F.lit('Content-Type: multipart/alternative; boundary="BB"\n\n--BB\n'),
+        F.lit("Content-Type: text/html\n\n"), htmlb,
+        F.lit("\n--BB\nContent-Type: text/plain\n\n"), plain, F.lit("\n--BB--\n"),
+    )
+    html_only = F.concat(F.lit("Content-Type: text/html\n\n"), htmlb)
+    plain_only = F.concat(F.lit("Content-Type: text/plain\n\n"), plain)
+    raw = (
+        F.when(F.pmod(k, F.lit(3)) == 0, multi)
+        .when(F.pmod(k, F.lit(3)) == 1, html_only)
+        .otherwise(plain_only)
+    )
+    return o.select(k.alias("umid"), select_payload(raw).alias("payload"))
+
+
+def q_count_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    # A1: grouped min + count-distinct (login_info, schema.sql:1905)
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    o = _t(spark, sf, "orders")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.min("o_orderdate").alias("first_order"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+def q_sanitize_names(spark: SparkSession, sf: str) -> DataFrame:
+    # F13: group/type name sanitization [a-zA-Z0-9_-] (common_utils.py:242-246)
+    from tripwire_spark.operators.identity import name_valid
+
+    c = _t(spark, sf, "customer")
+    k = F.col("c_custkey")
+    name = F.element_at(
+        F.array(
+            F.lit("batch-01"), F.lit("test_group"), F.lit("bad group"),
+            F.lit("ok-Name_2"), F.lit("semi;colon"), F.lit("dot.name"),
+        ),
+        (F.pmod(k, F.lit(6)) + 1).cast("int"),
+    )
+    return c.select(k.alias("custkey"), name.alias("id_group"), name_valid(name).alias("valid"))
+
+
+def q_recheck_schedule(spark: SparkSession, sf: str) -> DataFrame:
+    # T4: re-check timers 2 min / 12 min after the event (CHECK_DELAYS,
+    # tripwire-mail-checker:26)
+    from tripwire_spark.streaming.monitor import recheck_schedule
+
+    e = _t(spark, sf, "events").filter(F.col("event_type") == "signup")
+    out = recheck_schedule(e.select("event_id", "user_id", F.col("ts").alias("regtime")))
+    return out.select("event_id", "user_id", "delay_s", "scheduled_ts")
+
+
+def q_identity_claim(spark: SparkSession, sf: str) -> DataFrame:
+    # O2: rank-and-zip identity allocation (common_queries.py:237-250):
+    # k-th demand per segment gets the k-th lowest free identity
+    from tripwire_spark.operators.identity import claim_identities
+
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    segs = F.array(*[F.lit(s) for s in ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]])
+    demand = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_orderkey").alias("demand_id"),
+        F.element_at(segs, (F.pmod(F.col("o_orderkey"), F.lit(5)) + 1).cast("int")).alias("id_group"),
+        F.lit("default").alias("id_type"),
+    )
+    identities = c.select(
+        F.col("c_custkey").alias("iid"),
+        F.col("c_mktsegment").alias("id_group"),
+        F.lit("default").alias("id_type"),
+        (F.pmod(F.col("c_custkey"), F.lit(7)) != 0).alias("enabled"),
+        (F.pmod(F.col("c_custkey"), F.lit(11)) == 0).alias("used"),
+        F.lit(True).alias("verified"),
+        F.lit(False).alias("in_use"),
+    )
+    assignments = c.filter(F.pmod(F.col("c_custkey"), F.lit(13)) == 0).select(
+        F.col("c_custkey").alias("iid")
+    )
+    out = claim_identities(demand, identities, assignments, demand_order=["demand_id"])
+    return out.select("demand_id", "id_group", "iid")
+
+
+def q_eml_backup_path(spark: SparkSession, sf: str) -> DataFrame:
+    # S6: by-username/<initial>/<username> backup sharding
+    # (handle_email.py:76-96); missing usernames -> __MISSING__
+    from tripwire_spark.operators.identity import eml_backup_path
+
+    c = _t(spark, sf, "customer")
+    un = F.when(
+        F.pmod(F.col("c_custkey"), F.lit(20)) == 0, F.lit(None).cast("string")
+    ).otherwise(F.concat(F.lit("User"), F.col("c_custkey")))
+    return c.select(
+        F.col("c_custkey").alias("custkey"), eml_backup_path(un).alias("backup_path")
+    )
+
+
+def q_page_guard(spark: SparkSession, sf: str) -> DataFrame:
+    # F10: google/facebook page guard aborts the link walk
+    # (pagefinder.js:159-176,200-203)
+    from tripwire_spark.operators.crawl import PAGE_GUARD
+
+    c = _t(spark, sf, "customer")
+    k = F.col("c_custkey")
+    url = F.element_at(
+        F.array(
+            F.concat(F.lit("http://site"), k, F.lit(".test/p1")),
+            F.concat(F.lit("https://www.google.com/search?q="), k),
+            F.concat(F.lit("https://shop"), k, F.lit(".example.com/signup")),
+            F.concat(F.lit("https://facebook.com/page"), k),
+        ),
+        (F.pmod(k, F.lit(4)) + 1).cast("int"),
+    )
+    return c.select(k.alias("custkey"), url.alias("url")).filter(~url.rlike(PAGE_GUARD))
+
+
+def q_clicked_text_memory(spark: SparkSession, sf: str) -> DataFrame:
+    # D2: clicked-link text memory across passes — a candidate repeating
+    # a text already followed on the same site in an EARLIER round is
+    # skipped; same-round repeats survive (pagefinder.js:101-104,277-279)
+    e = _t(spark, sf, "events")
+    texts = F.array(
+        F.lit("Sign up"), F.lit("Register"), F.lit("Join now"), F.lit("Account"), F.lit("Login")
+    )
+    links = e.select(
+        F.col("event_id").alias("link_id"),
+        F.format_string("site%02d.test", F.pmod(F.col("user_id"), F.lit(25))).alias("phost"),
+        (F.pmod(F.col("event_id"), F.lit(3)) + 1).alias("round"),
+        F.element_at(texts, (F.pmod(F.col("event_id"), F.lit(5)) + 1).cast("int")).alias("lt"),
+    )
+    w = Window.partitionBy("phost", "lt")
+    return (
+        links.withColumn("first_round", F.min("round").over(w))
+        .filter(F.col("round") == F.col("first_round"))
+        .select("link_id", "phost", "round", "lt")
+    )
+
+
+def q_mail_rid_view(spark: SparkSession, sf: str) -> DataFrame:
+    # J3 + F6 + O3 composed: registrations join identities, 10-day
+    # recency window, latest per identity (schema.sql:1953-1954;
+    # handle_email.py:280-289)
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    # now() analog = 1998-07-25 (fixed replay point); 10-day window
+    recent = o.filter(F.col("o_orderdate") > F.lit("1998-07-15").cast("date"))
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+    latest = recent.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return latest.join(c, latest["o_custkey"] == c["c_custkey"]).select(
+        F.col("o_orderkey").alias("rid"),
+        F.col("c_custkey").alias("iid"),
+        F.lower(F.col("c_name")).alias("username"),
+        F.col("o_orderdate").alias("regtime"),
+    )
+
+
+def q_link_text_fallback(spark: SparkSession, sf: str) -> DataFrame:
+    # C15: link text falls back text -> val -> alt (pagefinder.js:131-156);
+    # image links score by alt instead of dying on the 1..30 length gate
+    from tripwire_spark.functions.html import extract_links
+
+    c = _t(spark, sf, "customer")
+    k = F.col("c_custkey")
+    html = F.element_at(
+        F.array(
+            F.concat(F.lit('<html><body><a href="/r'), k, F.lit('">Register here</a></body></html>')),
+            F.concat(F.lit('<html><body><a href="/r'), k, F.lit('"><img src="b.png" alt="Sign up now"></a></body></html>')),
+            F.concat(F.lit('<html><body><a href="/r'), k, F.lit('" value="Join the club"></a></body></html>')),
+            F.concat(F.lit('<html><body><a href="/r'), k, F.lit('"><img src="b.png"></a></body></html>')),
+        ),
+        (F.pmod(k, F.lit(4)) + 1).cast("int"),
+    )
+    links = c.select(k.alias("custkey"), F.explode(extract_links(html)).alias("l"))
+    return links.select("custkey", F.col("l.text").alias("link_text"))
+
+
+def q_mail_e2e(spark: SparkSession, sf: str) -> DataFrame:
+    # The composed accept_mail dataflow over RAW RFC-822 multipart
+    # messages (handle_email.py:496-573): C14+C12+C13 in one parse, F9
+    # gate, C10+C11+W5 over the SELECTED payload.  The html part plants
+    # a decoy URL that must never win because payload selection prefers
+    # text/plain.
+    from tripwire_spark.operators.mail_pipeline import accept_mail
+
+    o = _t(spark, sf, "orders").filter(F.pmod(F.col("o_orderkey"), F.lit(10)) < 3)
+    c, k = F.col("o_custkey"), F.col("o_orderkey")
+    to_hdr = F.when(
+        F.pmod(k, F.lit(2)) == 0,
+        F.concat(F.lit("To: Order Alerts <alerts"), c, F.lit("@mail.test>\n")),
+    ).otherwise(F.concat(F.lit("To: user"), c, F.lit("@mail.test\n")))
+    subj_hdr = F.when(
+        F.pmod(k, F.lit(3)) == 0, F.lit("Subject: =?utf-8?q?Please_confirm_your_account?=\n")
+    ).when(F.pmod(k, F.lit(3)) == 1, F.lit("Subject: Random newsletter\n")).otherwise(
+        F.lit("Subject: Welcome aboard\n")
+    )
+    good = F.concat(F.lit("https://shop"), c, F.lit(".example.com/confirm/account/"), k, F.lit("xyz"))
+    decoy = F.concat(F.lit("https://decoy"), c, F.lit(".example.com/confirm/account/"), k, F.lit("zz"))
+    raw = F.concat(
+        to_hdr,
+        subj_hdr,
+        F.lit('Content-Type: multipart/alternative; boundary="BB"\n\n--BB\n'),
+        F.lit("Content-Type: text/html\n\n<p>see "), decoy, F.lit(" </p>\n--BB\n"),
+        F.lit("Content-Type: text/plain\n\nVisit "), good, F.lit(" now\n--BB--\n"),
+    )
+    return accept_mail(o.select(k.alias("umid"), raw.alias("raw")))
+
+
+# ---------------------------------------------------------------------------
 # formfiller (C19 + W6 + A5/verification) — formfiller/expressions.js:1-224,
 # formfiller.js:296-377,703-742, tripwire.js:269-287
 
@@ -856,6 +1107,19 @@ def q_gid_sharding(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "recaptcha_filter": q_recaptcha_filter,
+    "nested_anti_join": q_nested_anti_join,
+    "select_payload": q_select_payload,
+    "count_distinct": q_count_distinct,
+    "sanitize_names": q_sanitize_names,
+    "recheck_schedule": q_recheck_schedule,
+    "identity_claim": q_identity_claim,
+    "eml_backup_path": q_eml_backup_path,
+    "page_guard": q_page_guard,
+    "clicked_text_memory": q_clicked_text_memory,
+    "mail_rid_view": q_mail_rid_view,
+    "link_text_fallback": q_link_text_fallback,
+    "mail_e2e": q_mail_e2e,
     "field_pattern_match": q_field_pattern_match,
     "field_best_pattern": q_field_best_pattern,
     "fill_plan": q_fill_plan,
@@ -1284,6 +1548,119 @@ ORACLES.update(
 
 ORACLES.update(
     {
+        "recaptcha_filter": """
+            SELECT o_orderkey AS umid,
+                   '<form id="f' || o_orderkey || '"><input name="email"></form>' AS html
+            FROM orders WHERE o_orderkey % 4 <> 0
+        """,
+        "nested_anti_join": """
+            SELECT p_partkey, p_name FROM part
+            WHERE p_partkey NOT IN (
+              SELECT l_partkey FROM lineitem WHERE l_suppkey IN (
+                SELECT s_suppkey FROM supplier WHERE s_nationkey < 5))
+        """,
+        "select_payload": """
+            SELECT o_orderkey AS umid,
+                   CASE WHEN o_orderkey % 3 = 1 THEN '<p>html body ' || o_orderkey || '</p>'
+                        ELSE 'plain body ' || o_orderkey END AS payload
+            FROM orders WHERE o_orderkey % 10 < 2
+        """,
+        "count_distinct": """
+            SELECT n_name, min(o_orderdate) AS first_order,
+                   count(DISTINCT o_custkey) AS n_customers,
+                   count(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "sanitize_names": """
+            WITH n AS (
+              SELECT c_custkey AS custkey,
+                     (['batch-01','test_group','bad group','ok-Name_2','semi;colon','dot.name'])
+                       [(c_custkey % 6) + 1] AS id_group
+              FROM customer)
+            SELECT custkey, id_group,
+                   regexp_matches(id_group, '^[a-zA-Z0-9_-]+$') AS valid
+            FROM n
+        """,
+        "recheck_schedule": """
+            SELECT event_id, user_id, d.delay_s,
+                   ts + to_seconds(d.delay_s) AS scheduled_ts
+            FROM events CROSS JOIN (VALUES (120), (720)) AS d(delay_s)
+            WHERE event_type = 'signup'
+        """,
+        "identity_claim": """
+            WITH demand AS (
+              SELECT o_orderkey AS demand_id,
+                     (['AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY'])
+                       [(o_orderkey % 5) + 1] AS id_group
+              FROM orders WHERE o_orderstatus = 'O'),
+            free AS (
+              SELECT c_custkey AS iid, c_mktsegment AS id_group FROM customer
+              WHERE c_custkey % 7 <> 0 AND c_custkey % 11 <> 0 AND c_custkey % 13 <> 0),
+            ri AS (SELECT iid, id_group,
+                          row_number() OVER (PARTITION BY id_group ORDER BY iid) AS rk
+                   FROM free),
+            rd AS (SELECT demand_id, id_group,
+                          row_number() OVER (PARTITION BY id_group ORDER BY demand_id) AS rk
+                   FROM demand)
+            SELECT demand_id, id_group, iid FROM rd JOIN ri USING (id_group, rk)
+        """,
+        "eml_backup_path": """
+            SELECT c_custkey AS custkey,
+                   CASE WHEN c_custkey % 20 = 0 THEN 'by-username/_/__missing__'
+                        ELSE 'by-username/u/user' || c_custkey END AS backup_path
+            FROM customer
+        """,
+        "page_guard": """
+            SELECT c_custkey AS custkey,
+                   CASE WHEN c_custkey % 4 = 0 THEN 'http://site' || c_custkey || '.test/p1'
+                        ELSE 'https://shop' || c_custkey || '.example.com/signup' END AS url
+            FROM customer WHERE c_custkey % 4 IN (0, 2)
+        """,
+        "clicked_text_memory": """
+            WITH links AS (
+              SELECT event_id AS link_id,
+                     printf('site%02d.test', user_id % 25) AS phost,
+                     (event_id % 3) + 1 AS round,
+                     (['Sign up','Register','Join now','Account','Login'])[(event_id % 5) + 1] AS lt
+              FROM events)
+            SELECT link_id, phost, round, lt FROM (
+              SELECT *, min(round) OVER (PARTITION BY phost, lt) AS fr FROM links)
+            WHERE round = fr
+        """,
+        "mail_rid_view": """
+            WITH recent AS (
+              SELECT * FROM orders WHERE o_orderdate > DATE '1998-07-15'),
+            latest AS (
+              SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                           ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+              FROM recent)
+            SELECT o_orderkey AS rid, c_custkey AS iid,
+                   lower(c_name) AS username, o_orderdate AS regtime
+            FROM latest JOIN customer ON o_custkey = c_custkey WHERE rn = 1
+        """,
+        "link_text_fallback": """
+            SELECT c_custkey AS custkey,
+                   (['Register here','Sign up now','Join the club'])[(c_custkey % 4) + 1] AS link_text
+            FROM customer WHERE c_custkey % 4 <> 3
+        """,
+        # Hand-traced accept_mail outcome: subject gate drops k%3=1; the
+        # text/plain part wins payload selection so only the good URL
+        # scores (path ramp + confirm 200 + account 30).
+        "mail_e2e": """
+            SELECT o_orderkey AS umid,
+                   CASE WHEN o_orderkey % 2 = 0 THEN 'alerts' || o_custkey || '@mail.test'
+                        ELSE 'user' || o_custkey || '@mail.test' END AS to_addr,
+                   CASE WHEN o_orderkey % 3 = 0 THEN 'Please confirm your account'
+                        ELSE 'Welcome aboard' END AS subject_decoded,
+                   'https://shop' || o_custkey || '.example.com/confirm/account/'
+                     || o_orderkey || 'xyz' AS url,
+                   CAST(least(greatest(length('confirm/account/' || o_orderkey || 'xyz') - 20, 0), 60)
+                        + 200 + 30 AS DOUBLE) AS weight
+            FROM orders WHERE o_orderkey % 10 < 3 AND o_orderkey % 3 <> 1
+        """,
         # C19: DuckDB re-runs every expanded pattern with its own regex
         # engine over the same synthesized fields.
         "field_pattern_match": f"""

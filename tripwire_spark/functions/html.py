@@ -45,6 +45,8 @@ class _TextAndLinks(HTMLParser):
         self._stack: list[str] = []
         self._cur_link: list[str] | None = None
         self._cur_href: str | None = None
+        self._cur_link_val: str | None = None
+        self._cur_link_alt: str | None = None
         self._cur_form: dict | None = None
         self._cur_button: list[str] | None = None
         self._cur_label_for: str | None = None
@@ -79,6 +81,14 @@ class _TextAndLinks(HTMLParser):
         if tag == "a":
             self._cur_link = []
             self._cur_href = a.get("href")
+            # C15 fallback sources (pagefinder.js:131-156 linkText):
+            # text -> val -> alt.  For an anchor, "val" is its value
+            # attr; "alt" is its own alt or the first wrapped img's.
+            self._cur_link_val = a.get("value")
+            self._cur_link_alt = a.get("alt")
+        elif tag == "img" and self._cur_link is not None:
+            if not self._cur_link_alt and a.get("alt"):
+                self._cur_link_alt = a.get("alt")
         elif tag == "form":
             self._cur_form = {
                 "action": a.get("action") or "",
@@ -120,11 +130,20 @@ class _TextAndLinks(HTMLParser):
         while self._stack and self._stack.pop() != tag:
             pass
         if tag == "a" and self._cur_link is not None:
+            # C15: text -> val -> alt, each trimmed; first non-empty wins
+            # (pagefinder.js:131-156) — image links score by alt text
+            # instead of being dropped by the length gate.
             txt = _WS.sub(" ", " ".join(self._cur_link)).strip()
+            if not txt and self._cur_link_val:
+                txt = self._cur_link_val.strip()
+            if not txt and self._cur_link_alt:
+                txt = self._cur_link_alt.strip()
             if self._cur_href:
                 self.links.append((self._cur_href, txt))
             self._cur_link = None
             self._cur_href = None
+            self._cur_link_val = None
+            self._cur_link_alt = None
         elif tag == "form" and self._cur_form is not None:
             self.forms.append(self._cur_form)
             self._cur_form = None

@@ -77,11 +77,8 @@ def decode_subject_py(subject: str | None) -> str | None:
     return "".join(decoded)
 
 
-def extract_to_py(raw_headers: str | None) -> str | None:
-    """C14 precedence over a raw RFC-822 header block."""
-    if raw_headers is None:
-        return None
-    msg = email.parser.Parser().parsestr(raw_headers, headersonly=True)
+def _to_from_msg(msg) -> str | None:
+    """C14 precedence over a parsed message (handle_email.py:110-130)."""
     if "to" in msg and "undisclosed recipients" not in msg["to"].lower():
         to_addr = msg["to"]
     elif "x-original-to" in msg:
@@ -94,11 +91,15 @@ def extract_to_py(raw_headers: str | None) -> str | None:
     return m.group(1) if m else to_addr
 
 
-def payload_weight_py(raw_message: str | None) -> tuple[int, str]:
-    """C13: (weight, payload) with multipart min-weight recursion."""
-    if raw_message is None:
-        return (100, "")
-    msg = email.parser.Parser().parsestr(raw_message)
+def extract_to_py(raw_headers: str | None) -> str | None:
+    """C14 precedence over a raw RFC-822 header block."""
+    if raw_headers is None:
+        return None
+    return _to_from_msg(email.parser.Parser().parsestr(raw_headers, headersonly=True))
+
+
+def _payload_of(msg) -> tuple[int, str]:
+    """C13 walk over a parsed message (handle_email.py:303-327)."""
 
     def walk(m) -> tuple[int, str]:
         ct = m.get_content_type()
@@ -120,6 +121,40 @@ def payload_weight_py(raw_message: str | None) -> tuple[int, str]:
     return walk(msg)
 
 
+def payload_weight_py(raw_message: str | None) -> tuple[int, str]:
+    """C13: (weight, payload) with multipart min-weight recursion."""
+    if raw_message is None:
+        return (100, "")
+    return _payload_of(email.parser.Parser().parsestr(raw_message))
+
+
+MESSAGE_TYPE = T.StructType(
+    [
+        T.StructField("to_addr", T.StringType()),
+        T.StructField("subject_raw", T.StringType()),
+        T.StructField("payload", T.StringType()),
+        T.StructField("payload_weight", T.IntegerType()),
+    ]
+)
+
+
+def parse_message_py(raw_message: str | None) -> dict:
+    """ONE parse of a raw RFC-822 message -> to-address precedence
+    (C14), raw subject header (for C12 decode), and the selected
+    payload + its weight (C13) — the accept_mail front half
+    (handle_email.py:496-573) without re-reading the bytes per stage."""
+    if raw_message is None:
+        return {"to_addr": None, "subject_raw": None, "payload": None, "payload_weight": 100}
+    msg = email.parser.Parser().parsestr(raw_message)
+    w, p = _payload_of(msg)
+    return {
+        "to_addr": _to_from_msg(msg),
+        "subject_raw": msg.get("subject"),
+        "payload": p,
+        "payload_weight": w,
+    }
+
+
 @F.pandas_udf(URLS_TYPE)
 def extract_urls(body: pd.Series) -> pd.Series:
     return body.map(extract_urls_py)
@@ -138,3 +173,8 @@ def extract_to(raw_headers: pd.Series) -> pd.Series:
 @F.pandas_udf(T.StringType())
 def select_payload(raw_message: pd.Series) -> pd.Series:
     return raw_message.map(lambda r: payload_weight_py(r)[1])
+
+
+@F.pandas_udf(MESSAGE_TYPE)
+def parse_message(raw_message: pd.Series) -> pd.DataFrame:
+    return pd.DataFrame(list(raw_message.map(parse_message_py)))

@@ -9,8 +9,10 @@ Reference parity:
   parse otherwise.
 - ``norm_dns_name``/``dns_name_valid`` (schema.sql:893-898, 27-32).
 - ``dns_pub_suffix``/``dns_reg_domain`` (schema.sql:296-319) — politeness
-  grouping key; here a deterministic PSL-snapshot-lite (public-suffix
-  semantics; extendable to the full list via a broadcast snapshot).
+  grouping key; full PSL rule semantics (exact/wildcard/exception,
+  longest-match, implicit default) over the snapshot in psl_data.py,
+  which uses the canonical publicsuffix.org file format so the complete
+  list drops in verbatim.
 
 Design: the canonicalizer is a **vectorized pandas UDF** (Arrow batches,
 no per-row Python UDF serde).  The hash is JVM-side ``xxhash64`` on the
@@ -38,36 +40,28 @@ _QUERY_SAFE = _SUB_DELIMS + ":@/?"
 
 _HOST_RE = re.compile(r"^[a-z0-9]([a-z0-9\-_]{0,61}[a-z0-9])?(\.[a-z0-9]([a-z0-9\-_]{0,61}[a-z0-9])?)*\.?$")
 
-# PSL snapshot (public-suffix semantics, deterministic subset: common ICANN
-# suffixes + the reserved .test/.example/.invalid/.localhost TLDs used by
-# fixtures).  Two-label suffixes checked before one-label.
-_PSL_2 = frozenset(
-    {
-        "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
-        "com.au", "net.au", "org.au", "edu.au", "gov.au",
-        "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
-        "com.br", "net.br", "org.br", "gov.br",
-        "co.in", "net.in", "org.in", "gen.in", "firm.in",
-        "com.cn", "net.cn", "org.cn", "gov.cn",
-        "co.nz", "net.nz", "org.nz",
-        "co.za", "net.za", "org.za", "web.za",
-        "com.mx", "org.mx", "net.mx",
-        "com.ar", "com.tr", "com.tw", "com.sg", "com.hk", "com.my",
-        "co.kr", "or.kr", "co.th", "co.id",
-    }
-)
-_PSL_1 = frozenset(
-    {
-        "com", "org", "net", "edu", "gov", "mil", "int", "info", "biz",
-        "name", "pro", "mobi", "app", "dev", "io", "ai", "co", "me",
-        "tv", "cc", "us", "uk", "de", "fr", "it", "es", "nl", "pl",
-        "ru", "jp", "cn", "in", "br", "au", "ca", "ch", "se", "no",
-        "fi", "dk", "be", "at", "cz", "pt", "gr", "hu", "ro", "ie",
-        "kr", "tw", "hk", "sg", "my", "th", "id", "mx", "ar", "cl",
-        "za", "tr", "ua", "il", "nz", "xyz", "site", "online", "top",
-        "club", "test", "example", "invalid", "localhost",
-    }
-)
+# PSL snapshot parsed into the three canonical rule classes
+# (publicsuffix.org format; see psl_data.py — drop in the full list to
+# extend).  Exception rules beat wildcards; longest match wins;
+# the implicit default rule "*" makes any unknown TLD a suffix.
+def _parse_psl(text: str) -> tuple[frozenset, frozenset, frozenset]:
+    exact, wild, exc = set(), set(), set()
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or line.startswith("//"):
+            continue
+        if line.startswith("!"):
+            exc.add(line[1:])
+        elif line.startswith("*."):
+            wild.add(line[2:])
+        else:
+            exact.add(line)
+    return frozenset(exact), frozenset(wild), frozenset(exc)
+
+
+from tripwire_spark.functions.psl_data import PSL_SNAPSHOT  # noqa: E402
+
+_PSL_EXACT, _PSL_WILD, _PSL_EXC = _parse_psl(PSL_SNAPSHOT)
 
 
 def _pct_normalize(s: str, safe: str) -> str:
@@ -145,19 +139,40 @@ def canonicalize_url_py(url: str | None) -> str | None:
     return out  # fragment intentionally dropped
 
 
+def public_suffix_index(labels: list[str]) -> int:
+    """Index where the public suffix starts, per the canonical PSL
+    algorithm: exception rules win outright, else the longest matching
+    exact/wildcard rule, else the implicit "*" default (bare TLD)."""
+    n = len(labels)
+    for i in range(n):
+        if ".".join(labels[i:]) in _PSL_EXC:
+            return i + 1  # the excepted label is registrable
+    best = n - 1  # default rule "*": the TLD itself
+    for i in range(n):
+        if ".".join(labels[i:]) in _PSL_EXACT:
+            best = min(best, i)
+            break  # i ascends -> first hit is the longest exact match
+    for i in range(n - 1):
+        if ".".join(labels[i + 1 :]) in _PSL_WILD:
+            best = min(best, i)
+            break
+    return best
+
+
 def reg_domain_py(host: str | None) -> str | None:
     """Registrable domain = public suffix + one label (dns_reg_domain,
-    schema.sql:305-310).  The politeness grouping key."""
+    schema.sql:305-310).  The politeness grouping key.
+
+    A host that IS a public suffix returns itself (grouping stays
+    defined); unknown TLDs fall to the default "*" rule."""
     if not host:
         return None
     h = host.lower().rstrip(".")
     labels = h.split(".")
     if len(labels) < 2:
         return h
-    if len(labels) >= 3 and ".".join(labels[-2:]) in _PSL_2:
-        return ".".join(labels[-3:])
-    # one-label suffix (listed or unknown TLD treated as a suffix)
-    return ".".join(labels[-2:])
+    i = public_suffix_index(labels)
+    return ".".join(labels[max(i - 1, 0) :])
 
 
 def host_of_py(url: str | None) -> str | None:

@@ -83,6 +83,12 @@ def fetch_extract(claimed: DataFrame, pages: DataFrame) -> DataFrame:
     return joined.select(*FRONTIER_COLS, "warc_ts", "lang", extract_page("html").alias("p"))
 
 
+# F10: the link walk aborts on google/facebook pages
+# (pagefinder.js:159-176,200-203 isGooglePage) — their links are never
+# candidates.  Applied to the PARENT page url before link explode.
+PAGE_GUARD = r"(?i)(google\.|facebook\.com)"
+
+
 def discover(
     links: DataFrame,
     seen: DataFrame,
@@ -93,7 +99,8 @@ def discover(
     seen_state=None,
     state: DataFrame | None = None,
     caches: list | None = None,
-) -> tuple[DataFrame, DataFrame, DataFrame | None]:
+    clicked: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame | None, DataFrame]:
     """Score, filter, canonicalize, dedup, and seen-filter new links.
 
     Returns (new_frontier_rows, decision_log_rows, next_state).
@@ -109,22 +116,41 @@ def discover(
     + state update collapse into ONE cogrouped pass (see seen.py);
     without one, falls back to a window-dedup + exact anti-join against
     ``seen`` (the frontier's urls).
+
+    ``clicked`` (D2, pagefinder.js:101-104,277-279): per-site anchor
+    texts already followed in EARLIER rounds; candidates repeating a
+    clicked text on the same site are skipped.  The fourth return value
+    is this round's newly-clicked (phost, lt) rows for the caller to
+    fold into the state.
     """
     bl = blacklist_regex(patterns)
     scored = (
         links.withColumn("curl", resolve_canonicalize("parent_url", "href"))
         .filter(F.col("curl").isNotNull())
         .withColumn("weight", F.coalesce(link_weight("anchor_text"), F.lit(0.0)))
+        .withColumn("phost", reg_domain(url_host("parent_url")))
     )
+    if clicked is not None:
+        seen_text = clicked.select(
+            F.col("phost"), F.col("lt").alias("anchor_text"), F.lit(True).alias("__clicked")
+        ).distinct()
+        scored = scored.join(seen_text, ["phost", "anchor_text"], "left")
+    else:
+        scored = scored.withColumn("__clicked", F.lit(None).cast("boolean"))
     # Decision log for every candidate (S9).
     decisions = scored.withColumn(
         "decision",
         F.when(F.col("curl").rlike(bl), F.lit("skipped-blacklist"))
         .when(F.col("weight") < 0, F.lit("skipped-negative-weight"))
+        .when(F.col("__clicked"), F.lit("skipped-clicked-text"))
         .otherwise(F.lit("candidate")),
     ).select(F.lit(round_no).alias("round"), "parent_qid", "curl", "weight", "decision")
 
-    kept = scored.filter(~F.col("curl").rlike(bl)).filter(F.col("weight") >= 0)
+    kept = (
+        scored.filter(~F.col("curl").rlike(bl))
+        .filter(F.col("weight") >= 0)
+        .filter(F.col("__clicked").isNull())
+    )
     next_state = None
     if seen_state is not None and state is not None:
         from tripwire_spark.operators.seen import SeenState
@@ -135,6 +161,8 @@ def discover(
             (-F.col("weight")).alias("__negw"),
             "parent_qid",
             "pos",
+            "phost",
+            "anchor_text",
         )
         admitted = seen_state.admit(
             cands, state, hash_col="url_hash", order_cols=["__negw", "parent_qid", "pos"]
@@ -142,7 +170,7 @@ def discover(
         if caches is not None:
             caches.append(admitted)
         fresh, next_state = SeenState.split(
-            admitted, ["curl", "url_hash", "__negw", "parent_qid", "pos"]
+            admitted, ["curl", "url_hash", "__negw", "parent_qid", "pos", "phost", "anchor_text"]
         )
     else:
         w = Window.partitionBy("curl").orderBy(F.col("weight").desc(), "parent_qid", "pos")
@@ -153,6 +181,8 @@ def discover(
             (-F.col("weight")).alias("__negw"),
             "parent_qid",
             "pos",
+            "phost",
+            "anchor_text",
         )
     # Deterministic qid = the full 64-bit url_hash.  The seen set
     # guarantees a hash enters the frontier exactly once, so the qid is
@@ -174,7 +204,9 @@ def discover(
         F.lit(round_no).alias("round_added"),
         (-F.col("__negw")).cast("double").alias("weight"),
     )
-    return new_rows, decisions, next_state
+    # D2 state delta: every admitted link counts as clicked on its site.
+    new_clicked = fresh.select("phost", F.col("anchor_text").alias("lt"))
+    return new_rows, decisions, next_state, new_clicked
 
 
 @dataclass
@@ -217,14 +249,18 @@ def run_crawl(
     if checkpoint_dir:
         tables = {
             name: SnapshotTable(spark, checkpoint_dir, name)
-            for name in ("frontier", "results", "fetch_log", "decision_log", "seen_sketch")
+            for name in (
+                "frontier", "results", "fetch_log", "decision_log", "seen_sketch", "clicked",
+            )
         }
 
+    clicked = None  # D2 state: (phost, lt) texts followed in earlier rounds
     if resume and tables and tables["frontier"].latest_id():
         frontier = tables["frontier"].read()
         results = tables["results"].read() if tables["results"].latest_id() else None
         fetch_log = tables["fetch_log"].read() if tables["fetch_log"].latest_id() else None
         decision_log = tables["decision_log"].read()
+        clicked = tables["clicked"].read() if tables["clicked"].latest_id() else None
         last = tables["frontier"].snapshots()[-1]["summary"]
         start_round = int(last.get("round", 0)) + 1
     else:
@@ -285,7 +321,9 @@ def run_crawl(
         round_results = parsed.select(
             "qid", "url", F.col("p.text").alias("text"), "lang", "warc_ts"
         )
-        links = parsed.select(
+        # F10: abort the link walk on google/facebook pages — their
+        # links never become candidates (pagefinder.js:159-176,200-203)
+        links = parsed.filter(~F.col("url").rlike(PAGE_GUARD)).select(
             F.col("qid").alias("parent_qid"),
             F.col("url").alias("parent_url"),
             F.explode("p.links").alias("l"),
@@ -298,10 +336,16 @@ def run_crawl(
         )
         seen = state.frontier.select("url", "url_hash")
         round_caches: list = [parsed]
-        new_rows, link_decisions, next_state = discover(
+        new_rows, link_decisions, next_state, new_clicked = discover(
             links, seen, patterns, round_no=r, vid=vid,
             seen_state=seen_svc, state=seen_state_df, caches=round_caches,
+            clicked=clicked,
         )
+        # D2 state fold: newly-admitted links' texts are now 'clicked'.
+        # new_clicked reads the round's persisted admit cache, so the
+        # union's lineage stays cheap; the tables path truncates it via
+        # the snapshot commit below.
+        clicked = new_clicked if clicked is None else clicked.unionByName(new_clicked)
         # new_rows feeds the settled frontier (and the snapshot commit);
         # pin it so its seen-state lineage isn't re-evaluated per consumer.
         new_rows = new_rows.persist()
@@ -345,12 +389,14 @@ def run_crawl(
             tables["results"].commit(state.results, summary)
             tables["fetch_log"].commit(state.fetch_log, summary)
             tables["decision_log"].commit(state.decision_log, summary)
+            tables["clicked"].commit(clicked, summary)
             if next_state is not None:
                 tables["seen_sketch"].commit(next_state, summary)
             state.frontier = tables["frontier"].read()
             state.results = tables["results"].read()
             state.fetch_log = tables["fetch_log"].read()
             state.decision_log = tables["decision_log"].read()
+            clicked = tables["clicked"].read()
             state.metrics.append(summary)
             if next_state is not None:
                 nxt = tables["seen_sketch"].read().persist()

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from tripwire_spark.functions.mail import decode_subject, extract_urls
+from tripwire_spark.functions.mail import decode_subject, extract_urls, parse_message
 from tripwire_spark.functions.scoring import (
     REPEAT_BONUS,
     email_url_weight,
@@ -40,7 +40,13 @@ def best_confirmation_urls(emails: DataFrame, id_col: str = "umid", body_col: st
     subj_ok = emails.withColumn("subject_decoded", decode_subject("subject")).filter(
         subject_interesting(F.col("subject_decoded"))
     )
-    urls = subj_ok.select(
+    return top_url(subj_ok, id_col, body_col)
+
+
+def top_url(emails: DataFrame, id_col: str = "umid", body_col: str = "body") -> DataFrame:
+    """C10 extract -> C11 score -> D1 repeat combine -> W5 top-1, from
+    an already-subject-filtered frame."""
+    urls = emails.select(
         F.col(id_col), F.explode(extract_urls(body_col)).alias("u")
     ).select(
         id_col,
@@ -60,3 +66,27 @@ def best_confirmation_urls(emails: DataFrame, id_col: str = "umid", body_col: st
         .filter((F.col("rn") == 1) & (F.col("weight") >= 0))
         .select(id_col, "url", F.col("weight").cast("double").alias("weight"))
     )
+
+
+def accept_mail(raw_messages: DataFrame, id_col: str = "umid", raw_col: str = "raw") -> DataFrame:
+    """The full accept_mail dataflow over RAW RFC-822 bytes
+    (handle_email.py:496-573): ONE parse per message (C14 to-address +
+    C12 subject + C13 payload selection), subject interestingness gate
+    (F9), then C10 extraction + C11 scoring + D1 repeat combine + W5
+    top-1 over the SELECTED payload — the composition the reference
+    actually runs, not pre-split columns.
+
+    Returns (id, to_addr, subject_decoded, url, weight): one row per
+    interesting mail with a non-negative best URL.
+    """
+    parsed = raw_messages.select(
+        F.col(id_col), parse_message(F.col(raw_col)).alias("m")
+    ).select(
+        id_col,
+        F.col("m.to_addr").alias("to_addr"),
+        decode_subject(F.col("m.subject_raw")).alias("subject_decoded"),
+        F.col("m.payload").alias("body"),
+    )
+    interesting = parsed.filter(subject_interesting(F.col("subject_decoded")))
+    best = top_url(interesting, id_col, "body")
+    return interesting.select(id_col, "to_addr", "subject_decoded").join(best, id_col)

@@ -85,18 +85,31 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
 
 def resize_thumbnails(media: DataFrame, max_side: int = 16) -> DataFrame:
     """Resize plumbing: output dims = aspect-preserving clamp; thumb
-    bytes from the deterministic fake (decode stubbed)."""
+    bytes from the deterministic fake (decode stubbed).
+
+    Dimension math is vectorized numpy over the whole Arrow batch; the
+    only per-element Python is the per-blob fake-thumb bytes (a real
+    codec call would be per-blob anyway)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for _, r in pdf.iterrows():
-                w, h = int(r["width"]), int(r["height"])
-                scale = max_side / max(w, h)
-                tw, th = max(1, int(w * scale)), max(1, int(h * scale))
-                fake = (_fake_feature(r["content"], 4) * 255).astype(np.uint8).tobytes()
-                out.append((int(r["media_id"]), fake, tw, th))
-            yield pd.DataFrame(out, columns=["media_id", "thumb", "thumb_w", "thumb_h"])
+            w = pdf["width"].to_numpy(dtype=np.float64)
+            h = pdf["height"].to_numpy(dtype=np.float64)
+            scale = max_side / np.maximum(w, h)
+            tw = np.maximum(1, (w * scale).astype(np.int64))
+            th = np.maximum(1, (h * scale).astype(np.int64))
+            thumbs = [
+                (_fake_feature(c, 4) * 255).astype(np.uint8).tobytes()
+                for c in pdf["content"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "thumb": thumbs,
+                    "thumb_w": tw.astype("int32"),
+                    "thumb_h": th.astype("int32"),
+                }
+            )
 
     return media.filter(F.col("kind") == "image").mapInPandas(run, schema=THUMB_SCHEMA)
 

@@ -122,3 +122,30 @@ def requeue(batch: DataFrame, now, delay: str = VISIBILITY_DELAY) -> DataFrame:
     return batch.withColumn("process_attempt", F.col("process_attempt") + 1).withColumn(
         "ignore_until", now + F.expr(f"INTERVAL {delay}")
     )
+
+
+# --- T4: scheduled re-check timers -------------------------------------------
+
+# mail/mailchecker/tripwire-mail-checker:26 — click re-checks at 2 min
+# and 12 min after the registration event.
+CHECK_DELAYS_S = [2 * 60, 12 * 60]
+
+
+def recheck_schedule(
+    events: DataFrame,
+    ts_col: str = "regtime",
+    delays_s: list[int] | None = None,
+) -> DataFrame:
+    """T4: one re-emit row per (event, delay) with its scheduled
+    event-time — the multi-deadline generalization of ``requeue``.
+
+    Batch: explode a literal delay array (no shuffle — the schedule is a
+    projection).  In streaming the same frame drives timer-style
+    re-processing per micro-batch: filter scheduled_ts <= batch time.
+    """
+    delays = delays_s if delays_s is not None else CHECK_DELAYS_S
+    d = F.explode(F.array(*[F.lit(x) for x in delays])).alias("delay_s")
+    return events.select("*", d).withColumn(
+        "scheduled_ts",
+        F.col(ts_col).cast("timestamp") + F.col("delay_s").cast("int") * F.expr("INTERVAL 1 SECOND"),
+    )
