@@ -911,6 +911,47 @@ def q_link_text_fallback(spark: SparkSession, sf: str) -> DataFrame:
     return links.select("custkey", F.col("l.text").alias("link_text"))
 
 
+def q_dns_validate(spark: SparkSession, sf: str) -> DataFrame:
+    # C3: norm_dns_name + dns_name_valid (schema.sql:893-898,27-32)
+    from tripwire_spark.functions.urls import dns_name_valid, norm_dns_name
+
+    c = _t(spark, sf, "customer")
+    k = F.col("c_custkey")
+    host = F.element_at(
+        F.array(
+            F.concat(F.lit("Shop"), k, F.lit(".Example.COM")),
+            F.concat(F.lit("host"), k, F.lit(".test.")),
+            F.concat(F.lit("-bad"), k, F.lit(".test")),
+            F.concat(F.lit("under_score"), k, F.lit(".test")),
+            F.concat(F.lit("double..dot"), k, F.lit(".test")),
+        ),
+        (F.pmod(k, F.lit(5)) + 1).cast("int"),
+    )
+    return c.select(
+        k.alias("custkey"),
+        norm_dns_name(host).alias("norm_name"),
+        dns_name_valid(host).alias("is_valid"),
+    )
+
+
+def q_conf_render(spark: SparkSession, sf: str) -> DataFrame:
+    # C22: identity -> JS conf template substitution
+    # (get_conf_file.py:180-202 string.Template over identity fields)
+    from tripwire_spark.functions.identity_conf import render_conf
+
+    c = _t(spark, sf, "customer")
+    k = F.col("c_custkey")
+    return c.select(
+        k.alias("iid"),
+        render_conf(
+            iid=k,
+            username=F.concat(F.lit("user"), k),
+            email=F.concat(F.lit("user"), k, F.lit("@mail.test")),
+            password=F.concat(F.lit("pw"), F.pmod(k * 7, F.lit(100000))),
+        ).alias("conf_js"),
+    )
+
+
 def q_mail_e2e(spark: SparkSession, sf: str) -> DataFrame:
     # The composed accept_mail dataflow over RAW RFC-822 multipart
     # messages (handle_email.py:496-573): C14+C12+C13 in one parse, F9
@@ -1120,6 +1161,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mail_rid_view": q_mail_rid_view,
     "link_text_fallback": q_link_text_fallback,
     "mail_e2e": q_mail_e2e,
+    "dns_validate": q_dns_validate,
+    "conf_render": q_conf_render,
     "field_pattern_match": q_field_pattern_match,
     "field_best_pattern": q_field_best_pattern,
     "fill_plan": q_fill_plan,
@@ -1660,6 +1703,32 @@ ORACLES.update(
                    CAST(least(greatest(length('confirm/account/' || o_orderkey || 'xyz') - 20, 0), 60)
                         + 200 + 30 AS DOUBLE) AS weight
             FROM orders WHERE o_orderkey % 10 < 3 AND o_orderkey % 3 <> 1
+        """,
+        "dns_validate": """
+            WITH h AS (
+              SELECT c_custkey AS custkey, c_custkey % 5 AS s,
+                     (['shop' || c_custkey || '.example.com',
+                       'host' || c_custkey || '.test.',
+                       '-bad' || c_custkey || '.test',
+                       'under_score' || c_custkey || '.test',
+                       'double..dot' || c_custkey || '.test'])[(c_custkey % 5) + 1] AS host
+              FROM customer)
+            SELECT custkey,
+                   regexp_replace(host, '\\.$', '') AS norm_name,
+                   s IN (0, 1, 3) AS is_valid
+            FROM h
+        """,
+        "conf_render": """
+            SELECT c_custkey AS iid,
+                   '//' || chr(10) || '// IID: ' || c_custkey || chr(10) || '//' || chr(10)
+                   || 'exports.fields = {' || chr(10)
+                   || '    username: ["user' || c_custkey || '"],' || chr(10)
+                   || '    email: ["user' || c_custkey || '@mail.test"],' || chr(10)
+                   || '    password: ["pw' || (c_custkey * 7) % 100000 || '"],' || chr(10)
+                   || '};' || chr(10)
+                   || 'exports.requiredSet = {email: true, password: true};' || chr(10)
+                     AS conf_js
+            FROM customer
         """,
         # C19: DuckDB re-runs every expanded pattern with its own regex
         # engine over the same synthesized fields.

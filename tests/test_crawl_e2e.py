@@ -117,6 +117,40 @@ def test_crawl_end_to_end(spark, fixture_tables, tmp_path):
     frontier.unpersist()
 
 
+def test_crawl_metrics_table(spark, fixture_tables):
+    """S4/A8: per-round metrics derived from the logs — fetch counts
+    split by outcome, candidate/skip decision counts."""
+    from tripwire_spark.operators.crawl import crawl_metrics, run_crawl
+
+    pages, seeds, robots = fixture_tables
+    state = run_crawl(spark, seeds, pages, robots, BLACKLIST_PATTERNS, max_rounds=2, default_budget=2)
+    m = {r["round"]: r for r in crawl_metrics(state).collect()}
+    assert m[1]["n_fetches"] == m[1]["n_found"] + m[1]["n_missed"]
+    assert m[1]["n_found"] > 0 and m[1]["n_candidates"] > 0
+
+
+def test_backpressure_halves_budget_on_misses(spark, fixture_tables):
+    """T8: a round fetching mostly misses caps the next round's claim
+    budget (the bad-proxy gate analog, run_queue_nowrap:219-231)."""
+    from tripwire_spark.operators.crawl import run_crawl
+
+    pages, seeds, robots = fixture_tables
+    # pages table withholding /p0 urls: every seed fetch misses round 1
+    no_seed_pages = pages.filter(~F.col("url").endswith("/p0"))
+    state = run_crawl(
+        spark, seeds, no_seed_pages, None, BLACKLIST_PATTERNS,
+        max_rounds=2, default_budget=2, backpressure=True,
+    )
+    assert state.metrics[0]["miss_rate"] == 1.0
+    assert state.metrics[0]["budget_cap_next"] == 1
+    # and a healthy crawl never throttles
+    ok = run_crawl(
+        spark, seeds, pages, None, BLACKLIST_PATTERNS,
+        max_rounds=2, default_budget=2, backpressure=True,
+    )
+    assert all(mm["budget_cap_next"] is None for mm in ok.metrics)
+
+
 def test_crawl_deterministic_across_runs(spark, fixture_tables):
     """Same input -> identical frontier (qid,url,status) on a re-run."""
     from tripwire_spark.operators.crawl import run_crawl

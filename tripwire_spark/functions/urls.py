@@ -38,7 +38,10 @@ _SUB_DELIMS = "!$&'()*+,;="
 _PATH_SAFE = _SUB_DELIMS + ":@/"
 _QUERY_SAFE = _SUB_DELIMS + ":@/?"
 
-_HOST_RE = re.compile(r"^[a-z0-9]([a-z0-9\-_]{0,61}[a-z0-9])?(\.[a-z0-9]([a-z0-9\-_]{0,61}[a-z0-9])?)*\.?$")
+# Shared between the Python canonicalizer and the JVM-side validator
+# column (C3: dns_name_valid, schema.sql:27-32) — Java/RE2 compatible.
+HOST_PATTERN = r"^[a-z0-9]([a-z0-9\-_]{0,61}[a-z0-9])?(\.[a-z0-9]([a-z0-9\-_]{0,61}[a-z0-9])?)*\.?$"
+_HOST_RE = re.compile(HOST_PATTERN)
 
 # PSL snapshot parsed into the three canonical rule classes
 # (publicsuffix.org format; see psl_data.py — drop in the full list to
@@ -215,6 +218,20 @@ def resolve_canonicalize(base: pd.Series, href: pd.Series) -> pd.Series:
         return canonicalize_url_py(absolute)
 
     return pd.Series([one(b, h) for b, h in zip(base, href)])
+
+
+def norm_dns_name(col: Column | str) -> Column:
+    """C3 norm_dns_name (schema.sql:893-898): lowercase + strip one
+    trailing root dot — pure JVM expressions."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.lower(c), r"\.$", "")
+
+
+def dns_name_valid(col: Column | str) -> Column:
+    """C3 dns_name_valid (schema.sql:27-32): label-structure check on
+    the normalized name (single codegen'd rlike)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(c).rlike(HOST_PATTERN)
 
 
 def url_hash(col: Column | str) -> Column:

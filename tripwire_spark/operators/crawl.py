@@ -209,6 +209,25 @@ def discover(
     return new_rows, decisions, next_state, new_clicked
 
 
+def crawl_metrics(state: "CrawlState") -> DataFrame | None:
+    """S4/A8: the per-round metrics table (the reference publishes these
+    as Redis counters: queued counts at queue_sites:99,139-141, status
+    events at run_queue_nowrap:104).  Derived lazily from the fetch and
+    decision logs — zero extra driver actions in the crawl loop."""
+    if state.fetch_log is None or state.decision_log is None:
+        return None
+    f = state.fetch_log.groupBy("round").agg(
+        F.count("*").alias("n_fetches"),
+        F.sum(F.col("found").cast("int")).alias("n_found"),
+        F.sum((~F.col("found")).cast("int")).alias("n_missed"),
+    )
+    d = state.decision_log.groupBy("round").agg(
+        F.sum((F.col("decision") == "candidate").cast("int")).alias("n_candidates"),
+        F.sum(F.col("decision").startswith("skipped").cast("int")).alias("n_skipped"),
+    )
+    return f.join(d, "round", "full_outer").orderBy("round")
+
+
 @dataclass
 class CrawlState:
     frontier: DataFrame
@@ -240,10 +259,19 @@ def run_crawl(
     vid: int = 1,
     use_bloom: bool = True,
     bloom_buckets: int = 64,
+    backpressure: bool = False,
+    backpressure_miss_rate: float = 0.5,
 ) -> CrawlState:
     """The full crawl loop; one snapshot commit per round when
     ``checkpoint_dir`` is given; ``resume=True`` continues from the
-    latest committed round."""
+    latest committed round.
+
+    ``backpressure`` (T8, run_queue_nowrap:29,124-126,219-231): when a
+    round's miss rate exceeds ``backpressure_miss_rate`` the next
+    round's politeness budget halves (min 1) — the batch analog of
+    sleeping on bad proxy checks; a healthy round restores the default.
+    Costs two counts per round on already-cached frames; off by default
+    so the throughput bench path is action-identical."""
     tables = None
     start_round = 1
     if checkpoint_dir:
@@ -302,9 +330,11 @@ def run_crawl(
             if not tables:
                 crawl_caches.append(seen_state_df)
 
+    budget_cap = None  # T8: None = healthy, no throttle
     for r in range(start_round, max_rounds + 1):
         claimed, disabled = politeness_schedule(
-            state.frontier, robots, default_budget=default_budget, round_no=r
+            state.frontier, robots, default_budget=default_budget, round_no=r,
+            budget_cap=budget_cap,
         )
         claimed = claimed.persist()
         parsed = fetch_extract(claimed, pages).persist()
@@ -423,6 +453,20 @@ def run_crawl(
                 crawl_caches.extend(round_caches)
                 state.rounds_run = r - 1
                 break
+
+        if backpressure:
+            # T8: gate next round's claim budget on this round's health
+            # (counts read the round's caches — no recompute).
+            n_cl = claimed.count()
+            n_ok = parsed.count()
+            miss = 0.0 if n_cl == 0 else 1.0 - (n_ok / n_cl)
+            budget_cap = (
+                max(1, default_budget // 2) if miss > backpressure_miss_rate else None
+            )
+            state.metrics.append(
+                {"round": r, "claimed": n_cl, "fetched": n_ok,
+                 "miss_rate": round(miss, 4), "budget_cap_next": budget_cap}
+            )
 
         claimed.unpersist()
         if nxt is not None:

@@ -114,6 +114,7 @@ def politeness_schedule(
     default_budget: int = DEFAULT_BUDGET,
     round_no: int = 1,
     salt_buckets: int = 16,
+    budget_cap: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Claim this round's jobs: per-host FIFO rank under the politeness
     budget (W2: rank by qid within host; common_queries.py:42-56).
@@ -150,6 +151,10 @@ def politeness_schedule(
         claimable = claimable.withColumn("crawl_budget", F.lit(default_budget))
         budget = F.col("crawl_budget")
 
+    if budget_cap is not None:
+        # T8 backpressure: an unhealthy previous round caps every host's
+        # budget this round (run_queue_nowrap:219-231 gate analog).
+        budget = F.least(budget, F.lit(budget_cap))
     salted = claimable.withColumn("__salt", F.pmod(F.xxhash64("url"), F.lit(salt_buckets)))
     w1 = Window.partitionBy("queue", "host", "__salt").orderBy(*claim_order())
     survivors = salted.withColumn("__rn1", F.row_number().over(w1)).filter(F.col("__rn1") <= budget)
