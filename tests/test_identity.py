@@ -111,7 +111,10 @@ def test_discover_clicked_text_memory(spark):
         "parent_qid long, parent_url string, href string, anchor_text string, pos int",
     )
     seen = spark.createDataFrame([], "url string, url_hash long")
-    clicked = spark.createDataFrame([("s1.test", "Sign up")], "phost string, lt string")
+    # clicked state = xxhash64(parent host, anchor text) keys
+    clicked = spark.createDataFrame([("s1.test", "Sign up")], "phost string, lt string").select(
+        F.xxhash64("phost", "lt").alias("ck")
+    )
     new_rows, decisions, _, new_clicked = discover(
         links, seen, ["blacklisted-nothing"], round_no=2, clicked=clicked
     )
@@ -122,7 +125,7 @@ def test_discover_clicked_text_memory(spark):
     dec = {r["curl"]: r["decision"] for r in decisions.collect()}
     assert dec["http://s1.test/new"] == "skipped-clicked-text"
     # the round's admitted links become the next clicked-state delta
-    assert {(r["phost"], r["lt"]) for r in new_clicked.collect()} == {
-        ("s1.test", "Fresh text"),
-        ("s2.test", "Sign up"),
-    }
+    want = spark.createDataFrame(
+        [("s1.test", "Fresh text"), ("s2.test", "Sign up")], "phost string, lt string"
+    ).select(F.xxhash64("phost", "lt").alias("ck"))
+    assert {r["ck"] for r in new_clicked.collect()} == {r["ck"] for r in want.collect()}

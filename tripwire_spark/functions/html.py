@@ -32,10 +32,14 @@ _INVISIBLE = {"script", "style", "head", "noscript", "template"}
 
 class _TextAndLinks(HTMLParser):
     """Single-pass extractor: title, visible body text, anchors, forms,
-    per-field attrs (formfiller C19 inputs), and label[for] text."""
+    and — only when ``collect_fields`` — per-field attrs (formfiller C19
+    inputs) and label[for] text.  Field/label bookkeeping costs ~10% of
+    parse CPU, so the crawl hot path (extract_page: text+links only)
+    leaves it off; extract_form_fields turns it on."""
 
-    def __init__(self) -> None:
+    def __init__(self, collect_fields: bool = False) -> None:
         super().__init__(convert_charrefs=True)
+        self._collect_fields = collect_fields
         self.title_parts: list[str] = []
         self.body_parts: list[str] = []
         self.links: list[tuple[str, str]] = []  # (href, text)
@@ -99,13 +103,15 @@ class _TextAndLinks(HTMLParser):
                 "n_visible": 0,
                 "buttons": [],
             }
-        elif tag == "label":
+        elif tag == "label" and self._collect_fields:
             self._cur_label_for = a.get("for")
             self._cur_label = []
         elif tag in ("select", "textarea") and self._cur_form is not None:
-            self._push_field(tag, a)
+            if self._collect_fields:
+                self._push_field(tag, a)
         elif tag == "input" and self._cur_form is not None:
-            self._push_field(tag, a)
+            if self._collect_fields:
+                self._push_field(tag, a)
             self._cur_form["n_inputs"] += 1
             typ = (a.get("type") or "text").lower()
             if typ == "password":
@@ -121,7 +127,8 @@ class _TextAndLinks(HTMLParser):
         elif tag == "button":
             self._cur_button = []
             if self._cur_form is not None:
-                self._push_field(tag, a)
+                if self._collect_fields:
+                    self._push_field(tag, a)
                 self._cur_form["buttons"].append(
                     " ".join(x for x in (a.get("name"), a.get("id"), a.get("value"), a.get("class")) if x)
                 )
@@ -178,17 +185,18 @@ class _TextAndLinks(HTMLParser):
             d = _WS.sub(" ", data).strip()
             if d:
                 self.body_parts.append(d)
-                self._last_text = d
                 if self._cur_link is not None:
                     self._cur_link.append(d)
                 if self._cur_button is not None:
                     self._cur_button.append(d)
-                if self._cur_label is not None:
-                    self._cur_label.append(d)
+                if self._collect_fields:
+                    self._last_text = d
+                    if self._cur_label is not None:
+                        self._cur_label.append(d)
 
 
-def _parse(html: bytes | str | None) -> _TextAndLinks:
-    p = _TextAndLinks()
+def _parse(html: bytes | str | None, collect_fields: bool = False) -> _TextAndLinks:
+    p = _TextAndLinks(collect_fields)
     if html is None:
         return p
     if isinstance(html, (bytes, bytearray)):
@@ -333,7 +341,7 @@ def extract_form_fields(html: pd.Series) -> pd.Series:
     def one(h):
         if h is None:
             return []
-        p = _parse(h)
+        p = _parse(h, collect_fields=True)
         p.resolve_field_labels()
         return p.fields
 

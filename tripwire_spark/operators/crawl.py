@@ -119,22 +119,29 @@ def discover(
 
     ``clicked`` (D2, pagefinder.js:101-104,277-279): per-site anchor
     texts already followed in EARLIER rounds; candidates repeating a
-    clicked text on the same site are skipped.  The fourth return value
-    is this round's newly-clicked (phost, lt) rows for the caller to
-    fold into the state.
+    clicked text on the same site are skipped.  The state is a single
+    64-bit key column ``ck = xxhash64(parent host, anchor text)`` — the
+    probe join shuffles one long, not two strings, and a hash collision
+    wrongly suppressing a link has the same (accepted, documented)
+    tolerance as the url seen set.  The fourth return value is this
+    round's newly-clicked ck rows for the caller to fold into the state.
+
+    ``links`` may carry a precomputed ``phost`` column (the crawl loop
+    passes the frontier's host — zero extra work); without one the
+    parent host is derived here (standalone/test use).
     """
     bl = blacklist_regex(patterns)
-    scored = (
-        links.withColumn("curl", resolve_canonicalize("parent_url", "href"))
-        .filter(F.col("curl").isNotNull())
-        .withColumn("weight", F.coalesce(link_weight("anchor_text"), F.lit(0.0)))
-        .withColumn("phost", reg_domain(url_host("parent_url")))
+    scored = links.withColumn("curl", resolve_canonicalize("parent_url", "href")).filter(
+        F.col("curl").isNotNull()
     )
+    if "phost" not in links.columns:
+        scored = scored.withColumn("phost", reg_domain(url_host("parent_url")))
+    scored = scored.withColumn(
+        "weight", F.coalesce(link_weight("anchor_text"), F.lit(0.0))
+    ).withColumn("__ck", F.xxhash64("phost", "anchor_text"))
     if clicked is not None:
-        seen_text = clicked.select(
-            F.col("phost"), F.col("lt").alias("anchor_text"), F.lit(True).alias("__clicked")
-        ).distinct()
-        scored = scored.join(seen_text, ["phost", "anchor_text"], "left")
+        seen_text = clicked.select(F.col("ck").alias("__ck"), F.lit(True).alias("__clicked")).distinct()
+        scored = scored.join(seen_text, "__ck", "left")
     else:
         scored = scored.withColumn("__clicked", F.lit(None).cast("boolean"))
     # Decision log for every candidate (S9).
@@ -161,16 +168,20 @@ def discover(
             (-F.col("weight")).alias("__negw"),
             "parent_qid",
             "pos",
-            "phost",
-            "anchor_text",
+            "__ck",
         )
+        # Lazy persist is deliberate here (unlike `parsed`): eagerly
+        # checkpointing the cogroup serialized the round's DAG and
+        # measured ~25% SLOWER at 8 slots; the admit chain reads the
+        # already-materialized parsed blocks, so its cache race window
+        # is narrow.
         admitted = seen_state.admit(
             cands, state, hash_col="url_hash", order_cols=["__negw", "parent_qid", "pos"]
         ).persist()
         if caches is not None:
             caches.append(admitted)
         fresh, next_state = SeenState.split(
-            admitted, ["curl", "url_hash", "__negw", "parent_qid", "pos", "phost", "anchor_text"]
+            admitted, ["curl", "url_hash", "__negw", "parent_qid", "pos", "__ck"]
         )
     else:
         w = Window.partitionBy("curl").orderBy(F.col("weight").desc(), "parent_qid", "pos")
@@ -181,8 +192,7 @@ def discover(
             (-F.col("weight")).alias("__negw"),
             "parent_qid",
             "pos",
-            "phost",
-            "anchor_text",
+            "__ck",
         )
     # Deterministic qid = the full 64-bit url_hash.  The seen set
     # guarantees a hash enters the frontier exactly once, so the qid is
@@ -205,7 +215,7 @@ def discover(
         (-F.col("__negw")).cast("double").alias("weight"),
     )
     # D2 state delta: every admitted link counts as clicked on its site.
-    new_clicked = fresh.select("phost", F.col("anchor_text").alias("lt"))
+    new_clicked = fresh.select(F.col("__ck").alias("ck"))
     return new_rows, decisions, next_state, new_clicked
 
 
@@ -261,6 +271,7 @@ def run_crawl(
     bloom_buckets: int = 64,
     backpressure: bool = False,
     backpressure_miss_rate: float = 0.5,
+    track_clicked: bool = True,
 ) -> CrawlState:
     """The full crawl loop; one snapshot commit per round when
     ``checkpoint_dir`` is given; ``resume=True`` continues from the
@@ -337,7 +348,15 @@ def run_crawl(
             budget_cap=budget_cap,
         )
         claimed = claimed.persist()
-        parsed = fetch_extract(claimed, pages).persist()
+        # parsed is the round's single most expensive computation (the
+        # html parse).  An ordinary persist() is NOT enough: the settle
+        # checkpoint and the admit chain materialize as CONCURRENT AQE
+        # jobs, and lazy-cache block races let both branches re-run the
+        # parse (event-log profiling showed the full pages scan + parse
+        # executing twice per round).  Eager localCheckpoint runs the
+        # parse exactly once and hands every consumer the same RDD
+        # blocks by identity — no plan-matching, no race.
+        parsed = fetch_extract(claimed, pages).localCheckpoint(eager=True)
         # (qid, round_added) is the frontier's unique key — qid alone can
         # collide between a seed (file_order) and a discovery (url_hash)
         misses = claimed.join(
@@ -352,14 +371,18 @@ def run_crawl(
             "qid", "url", F.col("p.text").alias("text"), "lang", "warc_ts"
         )
         # F10: abort the link walk on google/facebook pages — their
-        # links never become candidates (pagefinder.js:159-176,200-203)
+        # links never become candidates (pagefinder.js:159-176,200-203).
+        # phost rides along from the frontier row (already the reg
+        # domain) so D2 never recomputes it per link.
         links = parsed.filter(~F.col("url").rlike(PAGE_GUARD)).select(
             F.col("qid").alias("parent_qid"),
             F.col("url").alias("parent_url"),
+            F.col("host").alias("phost"),
             F.explode("p.links").alias("l"),
         ).select(
             "parent_qid",
             "parent_url",
+            "phost",
             F.col("l.href").alias("href"),
             F.col("l.text").alias("anchor_text"),
             F.col("l.pos").alias("pos"),
@@ -375,7 +398,8 @@ def run_crawl(
         # new_clicked reads the round's persisted admit cache, so the
         # union's lineage stays cheap; the tables path truncates it via
         # the snapshot commit below.
-        clicked = new_clicked if clicked is None else clicked.unionByName(new_clicked)
+        if track_clicked:
+            clicked = new_clicked if clicked is None else clicked.unionByName(new_clicked)
         # new_rows feeds the settled frontier (and the snapshot commit);
         # pin it so its seen-state lineage isn't re-evaluated per consumer.
         new_rows = new_rows.persist()
