@@ -911,6 +911,32 @@ def q_link_text_fallback(spark: SparkSession, sf: str) -> DataFrame:
     return links.select("custkey", F.col("l.text").alias("link_text"))
 
 
+def q_top_link(spark: SparkSession, sf: str) -> DataFrame:
+    # W3: top-1 link per page over REAL fixture HTML — extract anchors,
+    # score (C18 + D3 fold), drop non-matching/negative, rank by weight
+    # desc with document order ties (pagefinder.js:116-126,246-249)
+    from tripwire_spark.functions.html import extract_links
+    from tripwire_spark.functions.scoring import score_links
+    from tripwire_spark.sources.synth import synth_pages
+
+    c = _t(spark, sf, "customer")
+    keys = c.select(F.pmod(F.col("c_custkey"), F.lit(40)).alias("h")).distinct()
+    pages = synth_pages(spark, n_hosts=40, n_pages=8, n_links=3)
+    sel = keys.select(
+        F.format_string("http://site%04d.test/p%d", "h", F.pmod("h", F.lit(8))).alias("url")
+    ).join(pages, "url")
+    links = sel.select("url", F.explode(extract_links("html")).alias("l")).select(
+        "url", F.col("l.text").alias("text"), F.col("l.pos").alias("pos")
+    )
+    scored = score_links(links)
+    w = Window.partitionBy("url").orderBy(F.col("weight").desc(), F.col("pos"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("url", F.col("text").alias("best_text"), "weight", "pos")
+    )
+
+
 def q_dns_validate(spark: SparkSession, sf: str) -> DataFrame:
     # C3: norm_dns_name + dns_name_valid (schema.sql:893-898,27-32)
     from tripwire_spark.functions.urls import dns_name_valid, norm_dns_name
@@ -1163,6 +1189,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mail_e2e": q_mail_e2e,
     "dns_validate": q_dns_validate,
     "conf_render": q_conf_render,
+    "top_link": q_top_link,
     "field_pattern_match": q_field_pattern_match,
     "field_best_pattern": q_field_best_pattern,
     "fill_plan": q_fill_plan,
@@ -1703,6 +1730,24 @@ ORACLES.update(
                    CAST(least(greatest(length('confirm/account/' || o_orderkey || 'xyz') - 20, 0), 60)
                         + 200 + 30 AS DOUBLE) AS weight
             FROM orders WHERE o_orderkey % 10 < 3 AND o_orderkey % 3 <> 1
+        """,
+        # W3 hand-trace: page (h, p=h%8) carries links i=0..2 with texts
+        # ANCHOR_TEXTS[(h+p+i)%8]; C18 weights for that table are
+        # [6,5,12,3,NULL,NULL,NULL,NULL] ('create an account' combines
+        # 3.5 then 11 -> 12); pages whose three texts all miss (k=4,5)
+        # yield no row.
+        "top_link": """
+            WITH hs AS (SELECT DISTINCT c_custkey % 40 AS h FROM customer),
+            pg AS (SELECT h, h % 8 AS p, (h + (h % 8)) % 8 AS k FROM hs)
+            SELECT printf('http://site%04d.test/p%d', h, p) AS url,
+                   CASE k WHEN 0 THEN 'create an account' WHEN 1 THEN 'create an account'
+                          WHEN 2 THEN 'create an account' WHEN 3 THEN 'Login'
+                          WHEN 6 THEN 'Sign up' WHEN 7 THEN 'Sign up' END AS best_text,
+                   CAST(CASE k WHEN 0 THEN 12 WHEN 1 THEN 12 WHEN 2 THEN 12
+                               WHEN 3 THEN 3 WHEN 6 THEN 6 WHEN 7 THEN 6 END AS DOUBLE) AS weight,
+                   CAST(CASE k WHEN 0 THEN 2 WHEN 1 THEN 1 WHEN 2 THEN 0
+                               WHEN 3 THEN 0 WHEN 6 THEN 2 WHEN 7 THEN 1 END AS INTEGER) AS pos
+            FROM pg WHERE k NOT IN (4, 5)
         """,
         "dns_validate": """
             WITH h AS (
