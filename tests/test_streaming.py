@@ -64,6 +64,41 @@ def test_heartbeat_stream_runs(spark, tmp_path):
     assert got == want and len(want) > 0
 
 
+def test_recheck_schedule_stream_matches_batch(spark, tmp_path):
+    """T4 streaming twin: the 2/12-minute re-emit schedule computed per
+    micro-batch equals the batch schedule (event-time projection — no
+    state, so append mode streams it directly)."""
+    from tripwire_spark.streaming.monitor import recheck_schedule
+
+    stream, batch = _events_stream(spark, tmp_path)
+    sig = stream.filter(F.col("event_type") == "signup").select(
+        "event_id", F.col("ts").alias("regtime")
+    )
+    agg = recheck_schedule(sig)
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t4out")
+        .option("checkpointLocation", str(tmp_path / "ck4"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.event_id, r.delay_s): str(r.scheduled_ts)
+        for r in spark.sql("SELECT * FROM t4out").collect()
+    }
+    want = {
+        (r.event_id, r.delay_s): str(r.scheduled_ts)
+        for r in recheck_schedule(
+            batch.filter(F.col("event_type") == "signup").select(
+                "event_id", F.col("ts").alias("regtime")
+            )
+        ).collect()
+    }
+    assert got == want and len(want) > 0
+
+
 def test_visibility_retry_cycle(spark):
     from tripwire_spark.streaming.monitor import dequeue_visible, requeue
 
