@@ -67,6 +67,25 @@ def test_fetch_join_broadcasts_claimed_not_pages(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_field_pattern_match_is_shuffle_free(spark):
+    """C19 matching is a literal-regex projection: the whole expanded
+    pattern table evaluates scan-side — no join, no exchange.  At 100 TB
+    the fields table streams through one codegen stage."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["field_pattern_match"](spark, SF))
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+
+
+def test_fill_plan_is_shuffle_free(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["fill_plan"](spark, SF))
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+
+
 def test_politeness_aggregates_map_side(spark):
     import __spark_entry__ as e
 
