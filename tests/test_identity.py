@@ -97,6 +97,47 @@ def test_link_text_fallback_alt_and_val(spark):
     assert links == {"/a": "Plain text", "/b": "Image alt text", "/c": "Value text"}
 
 
+def test_sticky_identity_assignment_in_crawl(spark):
+    """SURVEY §7 hard part 5: each claimed host gets one identity on
+    first claim and keeps it for the whole crawl; no identity serves
+    two hosts (get_iid / url_id_assignments semantics)."""
+    from tripwire_spark.operators.crawl import run_crawl
+    from tripwire_spark.sources.synth import BLACKLIST_PATTERNS, synth_pages, synth_robots
+
+    pages = synth_pages(spark, 12, 4, 3)
+    robots = synth_robots(spark, 12)
+    seeds = spark.range(8).select(
+        (F.col("id") + 1).cast("int").alias("alexa"),
+        F.format_string("site%04d.test/p0", F.col("id")).alias("url"),
+        F.col("id").alias("file_order"),
+    )
+    identities = spark.range(1, 200).select(
+        F.col("id").alias("iid"),
+        F.lit("default").alias("id_group"),
+        F.lit("default").alias("id_type"),
+        F.lit(True).alias("enabled"),
+        F.lit(False).alias("used"),
+        F.lit(True).alias("verified"),
+        F.lit(False).alias("in_use"),
+    )
+    state = run_crawl(
+        spark, seeds, pages, robots, BLACKLIST_PATTERNS,
+        max_rounds=3, default_budget=2, identities=identities,
+    )
+    rows = state.assignments.collect()
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r["host"], set()).add(r["iid"])
+    # one identity per host, sticky across all rounds
+    assert all(len(v) == 1 for v in by_host.values())
+    # no identity shared between hosts
+    iids = [r["iid"] for r in rows]
+    assert len(iids) == len(set(iids))
+    # every host that was ever claimed is mapped
+    claimed_hosts = {r["host"] for r in state.fetch_log.select("host").distinct().collect()}
+    assert claimed_hosts <= set(by_host)
+
+
 def test_discover_clicked_text_memory(spark):
     # D2: a candidate repeating an earlier-round clicked text on the
     # same site is skipped and logged

@@ -244,6 +244,7 @@ class CrawlState:
     results: DataFrame | None = None
     fetch_log: DataFrame | None = None
     decision_log: DataFrame | None = None
+    assignments: DataFrame | None = None  # sticky identity<->domain map
     rounds_run: int = 0
     metrics: list[dict] = field(default_factory=list)
     # Persisted intermediates backing the lazy results/log DAGs when no
@@ -272,6 +273,7 @@ def run_crawl(
     backpressure: bool = False,
     backpressure_miss_rate: float = 0.5,
     track_clicked: bool = True,
+    identities: DataFrame | None = None,
 ) -> CrawlState:
     """The full crawl loop; one snapshot commit per round when
     ``checkpoint_dir`` is given; ``resume=True`` continues from the
@@ -282,24 +284,36 @@ def run_crawl(
     round's politeness budget halves (min 1) — the batch analog of
     sleeping on bad proxy checks; a healthy round restores the default.
     Costs two counts per round on already-cached frames; off by default
-    so the throughput bench path is action-identical."""
+    so the throughput bench path is action-identical.
+
+    ``identities`` (SURVEY §7 hard part 5; get_iid,
+    common_utils.py:240-269): an identities dimension
+    (iid, id_group, id_type, enabled, used, verified, in_use) turns on
+    sticky identity<->domain assignment — every claimed host gets the
+    lowest free identity once, reuses it in every later round, and the
+    mapping persists in the ``assignments`` state table
+    (checkpointed/restored like the frontier)."""
     tables = None
     start_round = 1
     if checkpoint_dir:
         tables = {
             name: SnapshotTable(spark, checkpoint_dir, name)
             for name in (
-                "frontier", "results", "fetch_log", "decision_log", "seen_sketch", "clicked",
+                "frontier", "results", "fetch_log", "decision_log", "seen_sketch",
+                "clicked", "assignments",
             )
         }
 
-    clicked = None  # D2 state: (phost, lt) texts followed in earlier rounds
+    clicked = None  # D2 state: ck hashes of texts followed in earlier rounds
+    assignments = None  # sticky identity<->domain state (host, iid, group, type)
     if resume and tables and tables["frontier"].latest_id():
         frontier = tables["frontier"].read()
         results = tables["results"].read() if tables["results"].latest_id() else None
         fetch_log = tables["fetch_log"].read() if tables["fetch_log"].latest_id() else None
         decision_log = tables["decision_log"].read()
         clicked = tables["clicked"].read() if tables["clicked"].latest_id() else None
+        if tables["assignments"].latest_id():
+            assignments = tables["assignments"].read()
         last = tables["frontier"].snapshots()[-1]["summary"]
         start_round = int(last.get("round", 0)) + 1
     else:
@@ -348,6 +362,17 @@ def run_crawl(
             budget_cap=budget_cap,
         )
         claimed = claimed.persist()
+        if identities is not None:
+            # Sticky identity claim: mapped hosts reuse, new hosts take
+            # the lowest free iid (first-claim-wins; get_iid analog).
+            from tripwire_spark.operators.identity import sticky_assignments
+
+            assignments = sticky_assignments(
+                claimed.select("host"), assignments, identities
+            ).persist()
+            round_pre_caches = [assignments]
+        else:
+            round_pre_caches = []
         # parsed is the round's single most expensive computation (the
         # html parse).  An ordinary persist() is NOT enough: the settle
         # checkpoint and the admit chain materialize as CONCURRENT AQE
@@ -388,7 +413,7 @@ def run_crawl(
             F.col("l.pos").alias("pos"),
         )
         seen = state.frontier.select("url", "url_hash")
-        round_caches: list = [parsed]
+        round_caches: list = [parsed, *round_pre_caches]
         new_rows, link_decisions, next_state, new_clicked = discover(
             links, seen, patterns, round_no=r, vid=vid,
             seen_state=seen_svc, state=seen_state_df, caches=round_caches,
@@ -444,6 +469,9 @@ def run_crawl(
             tables["fetch_log"].commit(state.fetch_log, summary)
             tables["decision_log"].commit(state.decision_log, summary)
             tables["clicked"].commit(clicked, summary)
+            if assignments is not None:
+                tables["assignments"].commit(assignments, summary)
+                assignments = tables["assignments"].read()
             if next_state is not None:
                 tables["seen_sketch"].commit(next_state, summary)
             state.frontier = tables["frontier"].read()
@@ -505,5 +533,6 @@ def run_crawl(
 
     if seen_state_df is not None and tables:
         seen_state_df.unpersist()
+    state.assignments = assignments
     state.caches = crawl_caches
     return state

@@ -82,6 +82,45 @@ def claim_identities(
     )
 
 
+def sticky_assignments(
+    claimed_hosts: DataFrame,
+    assignments: DataFrame | None,
+    identities: DataFrame,
+    id_group: str = "default",
+    id_type: str = "default",
+) -> DataFrame:
+    """SURVEY §7 hard part 5: identity<->domain stickiness with
+    first-claim-wins semantics under parallelism (get_iid,
+    common_utils.py:240-269).
+
+    ``claimed_hosts``: one column ``host`` (this round's claimed set).
+    ``assignments``: persisted state (host, iid, id_group, id_type) or
+    None on the first round.  Hosts already mapped REUSE their identity
+    (get_preexisting_iid); unmapped hosts claim the lowest free
+    identity in deterministic host order (the serial claim loop's
+    outcome replayed by rank-and-zip) — identities already assigned are
+    excluded, so no identity ever serves two domains.
+
+    Returns the NEW assignments state (old rows + this round's claims).
+    The frame is a per-host dimension (tiny next to the frontier); the
+    crawl loop checkpoints it with the other state tables.
+    """
+    hosts = claimed_hosts.select("host").distinct()
+    if assignments is not None:
+        fresh_hosts = hosts.join(assignments.select("host"), "host", "left_anti")
+        taken = assignments.select("iid")
+    else:
+        fresh_hosts = hosts
+        taken = None
+    demand = fresh_hosts.select(
+        F.col("host"), F.lit(id_group).alias("id_group"), F.lit(id_type).alias("id_type")
+    )
+    claimed = claim_identities(
+        demand, identities, assignments=taken, demand_order=["host"]
+    ).select("host", "iid", "id_group", "id_type")
+    return claimed if assignments is None else assignments.unionByName(claimed)
+
+
 def eml_backup_path(username_col: Column | str) -> Column:
     """S6: the by-username/<initial>/<username> shard path
     (handle_email.py:76-96); missing usernames file under __MISSING__."""
