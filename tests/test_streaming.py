@@ -99,6 +99,59 @@ def test_recheck_schedule_stream_matches_batch(spark, tmp_path):
     assert got == want and len(want) > 0
 
 
+def test_streaming_visibility_queue_stateful(spark, tmp_path):
+    """T3 as applyInPandasWithState: already-visible messages dequeue on
+    arrival; delayed ones are HELD in per-identity state and released by
+    a later batch once their visibility matures."""
+    import time
+
+    from tripwire_spark.streaming.monitor import streaming_visibility_queue
+
+    import datetime
+
+    import glob as globmod
+    import shutil
+
+    src = tmp_path / "vq_src"
+    src.mkdir()
+    past = datetime.datetime(2020, 1, 1)
+
+    def write_batch(name, rows):
+        # stage as FLAT files in the watched dir (the file source tails
+        # files, not nested directories)
+        tmp = str(tmp_path / f"stage_{name}")
+        spark.createDataFrame(rows, "iid long, umid long, ignore_until timestamp").coalesce(
+            1
+        ).write.mode("overwrite").parquet(tmp)
+        for i, f in enumerate(globmod.glob(tmp + "/part-*.parquet")):
+            shutil.copy(f, str(src / f"{name}_{i}.parquet"))
+
+    # far enough out that stream startup cannot cross it
+    soon = datetime.datetime.utcnow() + datetime.timedelta(seconds=25)
+    write_batch("b1", [(1, 101, past), (1, 102, soon), (2, 201, past)])
+    stream = spark.readStream.schema("iid long, umid long, ignore_until timestamp").parquet(
+        str(src)
+    )
+    q = (
+        streaming_visibility_queue(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("vqout")
+        .option("checkpointLocation", str(tmp_path / "ckvq"))
+        .start()
+    )
+    q.processAllAvailable()
+    got1 = {r.umid for r in spark.sql("SELECT * FROM vqout").collect()}
+    assert got1 == {101, 201}  # visible immediately; 102 held in state
+    while datetime.datetime.utcnow() <= soon:
+        time.sleep(1)  # let umid 102's visibility mature
+    write_batch("b2", [(1, 103, past)])  # new arrival triggers the key
+    q.processAllAvailable()
+    q.stop()
+    got2 = {r.umid for r in spark.sql("SELECT * FROM vqout").collect()}
+    assert got2 == {101, 201, 102, 103}
+
+
 def test_visibility_retry_cycle(spark):
     from tripwire_spark.streaming.monitor import dequeue_visible, requeue
 

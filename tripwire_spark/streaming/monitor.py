@@ -124,6 +124,72 @@ def requeue(batch: DataFrame, now, delay: str = VISIBILITY_DELAY) -> DataFrame:
     )
 
 
+# --- T3 streaming: stateful visibility queue ---------------------------------
+
+
+def streaming_visibility_queue(arrivals: DataFrame, key_col: str = "iid"):
+    """T3 as a CUSTOM STATEFUL streaming operator
+    (``applyInPandasWithState``): the unprocessed_messages queue with
+    per-identity state (handle_email.py:34,657-716; schema.sql:2210-2219).
+
+    Input stream rows: (iid, umid, ignore_until timestamp).  State per
+    identity: the pending (umid, ignore_until) set.  Each invocation
+    dequeues every message whose visibility has expired relative to the
+    batch's processing time and keeps the rest in state.
+
+    Release is arrival-driven: a key's matured messages emit when the
+    key next appears in a batch.  The reference's poller provides
+    exactly this tick (tripwire-mail-poller polls each identity every
+    12 s); in a deployment with silent identities, union a periodic
+    rate-source tick stream keyed by iid.  A processing-time timeout
+    variant was measured to busy-loop the micro-batch engine (sub-second
+    re-arms -> continuous epochs), so the tick pattern is the supported
+    one.
+
+    This is the shape the engine uses for any per-key retry semantics
+    Spark lacks natively — bounded state per key, Arrow in/out, no
+    driver involvement.
+    """
+    import datetime
+
+    import pandas as pd
+
+    def dequeue(key, pdfs, state):
+        now = datetime.datetime.now(tz=datetime.timezone.utc).replace(tzinfo=None)
+        pend_umid, pend_until = ([], [])
+        if state.exists:
+            pend_umid, pend_until = state.get
+            pend_umid, pend_until = list(pend_umid), list(pend_until)
+        for pdf in pdfs:
+            for umid, until in zip(pdf["umid"], pdf["ignore_until"]):
+                pend_umid.append(int(umid))
+                pend_until.append(until.to_pydatetime())
+        ready = {i for i, t in enumerate(pend_until) if t <= now}
+        keep = [i for i in range(len(pend_umid)) if i not in ready]
+        out = pd.DataFrame(
+            {
+                "iid": [key[0]] * len(ready),
+                "umid": [pend_umid[i] for i in sorted(ready)],
+                "dequeued_at": [now] * len(ready),
+            }
+        )
+        if keep:
+            state.update(
+                ([pend_umid[i] for i in keep], [pend_until[i] for i in keep])
+            )
+        elif state.exists:
+            state.remove()
+        yield out
+
+    return arrivals.groupBy(key_col).applyInPandasWithState(
+        dequeue,
+        outputStructType="iid long, umid long, dequeued_at timestamp",
+        stateStructType="pend_umid array<long>, pend_until array<timestamp>",
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
 # --- T4: scheduled re-check timers -------------------------------------------
 
 # mail/mailchecker/tripwire-mail-checker:26 — click re-checks at 2 min
