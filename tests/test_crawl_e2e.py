@@ -185,3 +185,63 @@ def test_resume_from_checkpoint(spark, fixture_tables, tmp_path):
     rows_full = sorted(map(tuple, full.frontier.select("qid", "url", "status", "try").collect()))
     rows_res = sorted(map(tuple, resumed.frontier.select("qid", "url", "status", "try").collect()))
     assert rows_full == rows_res
+
+
+def test_checkpoint_with_track_clicked_off(spark, fixture_tables, tmp_path):
+    """Regression: checkpoint_dir + track_clicked=False must not crash on
+    the clicked-table commit (the state is None by design)."""
+    from tripwire_spark.operators.crawl import run_crawl
+
+    pages, seeds, robots = fixture_tables
+    state = run_crawl(
+        spark, seeds, pages, robots, BLACKLIST_PATTERNS,
+        max_rounds=2, default_budget=2,
+        checkpoint_dir=str(tmp_path / "ck_nc"), track_clicked=False,
+    )
+    assert state.frontier.count() > 0 and state.rounds_run == 2
+
+
+def test_long_crawl_bounded_lineage(spark):
+    """A 20-round no-checkpoint crawl completes without plan blowup: the
+    seen segments, clicked state, and log DAGs are compacted/pinned every
+    ``compact_every`` rounds, so max_rounds is unbounded by design.
+
+    Fixture: 2 hosts, each a 25-page chain (p_i links only to p_{i+1}
+    with a distinct anchor text) — one discovery per host per round, so
+    the frontier stays alive through all 20 rounds."""
+    from tripwire_spark.operators.crawl import run_crawl
+
+    n_pages, n_hosts = 25, 2
+    ids = spark.range(n_hosts * n_pages)
+    h = (F.col("id") / n_pages).cast("long")
+    p = F.pmod(F.col("id"), F.lit(n_pages))
+    pages = ids.select(
+        F.format_string("http://site%04d.test/p%d", h, p).alias("url"),
+        F.timestamp_seconds(F.lit(1451606400) + F.col("id")).alias("warc_ts"),
+        F.concat(
+            F.format_string("<html><head><title>s%d p%d</title></head><body>", h, p),
+            F.format_string(
+                '<a href="http://site%04d.test/p%d">next page %d</a>', h, p + 1, p + 1
+            ),
+            F.lit("</body></html>"),
+        ).cast("binary").alias("html"),
+        F.lit("en").alias("lang"),
+    ).persist()
+    seeds = spark.range(n_hosts).select(
+        (F.col("id") + 1).cast("int").alias("alexa"),
+        F.format_string("site%04d.test/p0", F.col("id")).alias("url"),
+        F.col("id").alias("file_order"),
+    )
+    state = run_crawl(
+        spark, seeds, pages, None, BLACKLIST_PATTERNS,
+        max_rounds=20, default_budget=1, compact_every=4,
+    )
+    assert state.rounds_run == 20
+    n = state.frontier.count()
+    assert n == state.frontier.select("url_hash").distinct().count()
+    # every round really fetched something (the frontier never drained)
+    assert state.fetch_log.select("round").distinct().count() == 20
+    # chain crawl: round r fetched exactly p_{r-1} of each host
+    assert state.fetch_log.count() == 20 * n_hosts
+    state.release()
+    pages.unpersist()

@@ -146,3 +146,103 @@ def test_cuckoo_incremental_matches_full_build(spark):
     a, b = _urls(spark, 0, 2000), _urls(spark, 2000, 2000)
     merged = ck.insert(ck.build(a), b).persist()
     assert ck.probe(_urls(spark, 0, 4000), merged).filter(~F.col("maybe_seen")).count() == 0
+
+
+# -- SeenState delta segments (O(new) per-round state) -------------------
+
+
+def _admit(svc, cands, state):
+    from tripwire_spark.operators.seen import SeenState
+
+    out = svc.admit(cands, state, hash_col="url_hash").persist()
+    fresh, delta = SeenState.split(out, ["url", "url_hash"])
+    return fresh, delta
+
+
+def test_seen_state_admit_emits_only_delta_segments(spark):
+    """admit() writes O(new) state: the kind=1 output is ONE new segment
+    per touched bucket holding only this round's fresh hashes — prior
+    segments are never re-emitted through the shuffle."""
+    from tripwire_spark.operators.seen import SeenState
+
+    svc = SeenState(n_buckets=8)
+    state = svc.init(_urls(spark, 0, 4000), "url_hash").persist()
+    # candidates confined to buckets {0, 1}: half already seen, half new
+    cands = (
+        _urls(spark, 2000, 4000)
+        .filter(svc.bucket_col(F.col("url_hash")).isin(0, 1))
+        .persist()
+    )
+    n_new = cands.filter(F.col("url_hash").isin(
+        [r.url_hash for r in _urls(spark, 4000, 2000).collect()]
+    )).count()
+    fresh, delta = _admit(svc, cands, state)
+    drows = delta.collect()
+    # delta rows exist only for touched buckets, one segment each
+    assert {r.bucket for r in drows} <= {0, 1}
+    assert len(drows) == len({r.bucket for r in drows})
+    # delta carries exactly the fresh hashes, nothing from prior state
+    assert sum(r.n_items for r in drows) == fresh.count() == n_new
+    assert all(r.seg == 1 for r in drows)  # seeded seg=0 + one new
+
+
+def test_seen_state_untouched_buckets_byte_identical(spark):
+    """Buckets receiving no candidates contribute zero bytes to the admit
+    shuffle (LeftSemi-pruned) and their stored blobs flow to the next
+    state byte-identical."""
+    from tripwire_spark.operators.seen import SeenState
+
+    svc = SeenState(n_buckets=8)
+    state = svc.init(_urls(spark, 0, 4000), "url_hash").persist()
+    before = {
+        (r.bucket, r.seg): (r.bloom, r.hashes, r.n_items) for r in state.collect()
+    }
+    cands = (
+        _urls(spark, 4000, 1000)
+        .filter(svc.bucket_col(F.col("url_hash")).isin(0, 1))
+        .persist()
+    )
+    out = svc.admit(cands, state, hash_col="url_hash").persist()
+    # the state side of the cogroup is pruned to touched buckets only
+    assert "LeftSemi" in out._jdf.queryExecution().executedPlan().toString()
+    _, delta = SeenState.split(out, ["url", "url_hash"])
+    nxt = SeenState.advance(state, delta).persist()
+    after = {(r.bucket, r.seg): (r.bloom, r.hashes, r.n_items) for r in nxt.collect()}
+    for key, blob in before.items():
+        assert after[key] == blob  # prior segments byte-identical
+    # and every new segment belongs to a touched bucket
+    assert all(b in (0, 1) for (b, s) in set(after) - set(before))
+
+
+def test_seen_state_segmented_membership_and_compact(spark):
+    """Multi-round segmented state is membership-exact, re-admitting seen
+    urls yields zero fresh, and compact() folds all segments into one per
+    bucket while preserving the exact hash set."""
+    from tripwire_spark.operators.seen import SeenState
+
+    svc = SeenState(n_buckets=4)
+    state = svc.init(_urls(spark, 0, 1000), "url_hash").persist()
+    hwm = 1000  # ids 0..hwm-1 admitted so far
+    for start in (500, 1200, 1800):  # three overlapping rounds
+        cands = _urls(spark, start, 1000).persist()
+        fresh, delta = _admit(svc, cands, state)
+        # fresh = candidates minus everything admitted before (exact)
+        got = sorted(r.url for r in fresh.collect())
+        want = sorted(r.url for r in _urls(spark, hwm, start + 1000 - hwm).collect())
+        assert got == want
+        hwm = start + 1000
+        state = SeenState.advance(state, delta).persist()
+    # after all rounds: total distinct = 0..2800
+    total = sum(r.n_items for r in state.collect())
+    assert total == 2800
+    # re-admitting anything in range yields zero fresh
+    again, delta2 = _admit(svc, _urls(spark, 0, 2800), state)
+    assert again.count() == 0
+    assert delta2.count() == 0  # no fresh -> no delta segment at all
+    # compact: one seg=0 row per bucket, same membership
+    compacted = svc.compact(state).persist()
+    rows = compacted.collect()
+    assert len(rows) == len({r.bucket for r in rows}) and all(r.seg == 0 for r in rows)
+    assert sum(r.n_items for r in rows) == 2800
+    again2, _ = _admit(svc, _urls(spark, 0, 2800), compacted)
+    assert again2.count() == 0

@@ -1,0 +1,106 @@
+"""Snapshot-table contract: atomic commits, fast-append (O(delta) per
+round), time travel, rollback/GC safety over append lineage, and the
+Iceberg delegation probe (SURVEY.md §2.1 S7/S8; the reference's
+single-Postgres source of truth, schema.sql:1924-1938)."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(F.col("id"), (F.col("id") * 2).alias("v"))
+
+
+def test_commit_append_unions_and_writes_only_delta(spark, tmp_path):
+    from tripwire_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path), "log")
+    t.commit(_df(spark, 0, 100), {"round": 1})
+    sid2 = t.commit_append(_df(spark, 100, 150), {"round": 2})
+    sid3 = t.commit_append(_df(spark, 150, 160), {"round": 3})
+    assert t.read().count() == 160
+    # time travel still sees each round's view
+    assert t.read(sid2).count() == 150
+    assert t.read(1).count() == 100
+    # the append snapshot REFERENCES the parent's files, rewrites nothing:
+    # snap3 lists 3 data dirs of which only the last is new
+    snaps = t.snapshots()
+    assert snaps[-1]["op"] == "append" and len(snaps[-1]["paths"]) == 3
+    assert snaps[-1]["paths"][:2] == t._paths(snaps[-2])
+    assert sid3 == 3
+
+
+def test_rollback_preserves_shared_append_files(spark, tmp_path):
+    from tripwire_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path), "log")
+    t.commit(_df(spark, 0, 100))
+    t.commit_append(_df(spark, 100, 150))
+    t.commit_append(_df(spark, 150, 160))
+    t.rollback(2)
+    # snapshot 2 still reads every byte it referenced (the shared dirs
+    # of snapshot 3's lineage were NOT deleted)
+    assert t.read().count() == 150
+    assert t.latest_id() == 2
+
+
+def test_expire_keeps_files_referenced_by_live_snapshots(spark, tmp_path):
+    from tripwire_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path), "log")
+    t.commit(_df(spark, 0, 100))
+    t.commit_append(_df(spark, 100, 150))
+    t.commit_append(_df(spark, 150, 160))
+    t.expire_snapshots(keep_last=2)
+    # snapshots 2 and 3 share snapshot 1's data dir -> it must survive
+    assert t.read().count() == 160
+    assert t.read(2).count() == 150
+
+
+def test_commit_append_on_empty_table_is_full_commit(spark, tmp_path):
+    from tripwire_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path), "log")
+    sid = t.commit_append(_df(spark, 0, 10), {"round": 1})
+    assert sid == 1 and t.read().count() == 10
+    assert t.snapshots()[0]["op"] == "overwrite"
+
+
+def test_manifest_swap_is_atomic(spark, tmp_path):
+    from tripwire_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path), "log")
+    t.commit(_df(spark, 0, 10))
+    # no stray tmp manifests left behind
+    stray = [p for p in os.listdir(t.dir) if ".tmp." in p]
+    assert stray == []
+
+
+def test_iceberg_probe_and_factory(spark, tmp_path):
+    """Without the Iceberg runtime on the classpath the factory returns
+    the Parquet stand-in; with it, the delegating subclass (skip-guarded:
+    this container ships no Iceberg jars)."""
+    import pytest
+
+    from tripwire_spark.sources.snapshots import (
+        IcebergSnapshotTable,
+        SnapshotTable,
+        iceberg_available,
+        open_snapshot_table,
+    )
+
+    t = open_snapshot_table(spark, str(tmp_path), "log")
+    if not iceberg_available(spark):
+        assert type(t) is SnapshotTable
+        with pytest.raises(RuntimeError):
+            IcebergSnapshotTable(spark, str(tmp_path), "log2")
+        pytest.skip("Iceberg runtime not on the classpath (expected here)")
+    # real-Iceberg path: same contract as the stand-in
+    assert isinstance(t, IcebergSnapshotTable)
+    t.commit(_df(spark, 0, 10), {"round": 1})
+    t.commit_append(_df(spark, 10, 15), {"round": 2})
+    assert t.read().count() == 15
+    assert t.read(1).count() == 10

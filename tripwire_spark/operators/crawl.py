@@ -103,7 +103,10 @@ def discover(
 ) -> tuple[DataFrame, DataFrame, DataFrame | None, DataFrame]:
     """Score, filter, canonicalize, dedup, and seen-filter new links.
 
-    Returns (new_frontier_rows, decision_log_rows, next_state).
+    Returns (new_frontier_rows, decision_log_rows, state_delta,
+    admitted_ck_rows).  ``state_delta`` is the seen-state's NEW delta
+    segments only (O(new urls)); the caller composes the next state via
+    ``SeenState.advance(state, delta)`` or an append commit.
     qids are hash-derived (qid = url_hash; see module header) and carry
     no discovery order; claim priority rides the explicit
     (round_added, weight desc, qid) key (frontier.claim_order).  The
@@ -158,10 +161,15 @@ def discover(
         .filter(F.col("weight") >= 0)
         .filter(F.col("__clicked").isNull())
     )
-    next_state = None
+    state_delta = None
     if seen_state is not None and state is not None:
         from tripwire_spark.operators.seen import SeenState
 
+        # Persisted so the admit pass's TWO readers — the touched-bucket
+        # broadcast (distinct buckets) and the cogroup itself — run the
+        # scoring/canonicalization UDF chain once, not twice.  The
+        # broadcast job materializes the cache before the cogroup
+        # stages consume it (both live inside the one admit action).
         cands = kept.select(
             "curl",
             url_hash("curl").alias("url_hash"),
@@ -169,7 +177,7 @@ def discover(
             "parent_qid",
             "pos",
             "__ck",
-        )
+        ).persist()
         # Lazy persist is deliberate here (unlike `parsed`): eagerly
         # checkpointing the cogroup serialized the round's DAG and
         # measured ~25% SLOWER at 8 slots; the admit chain reads the
@@ -179,8 +187,9 @@ def discover(
             cands, state, hash_col="url_hash", order_cols=["__negw", "parent_qid", "pos"]
         ).persist()
         if caches is not None:
+            caches.append(cands)
             caches.append(admitted)
-        fresh, next_state = SeenState.split(
+        fresh, state_delta = SeenState.split(
             admitted, ["curl", "url_hash", "__negw", "parent_qid", "pos", "__ck"]
         )
     else:
@@ -213,10 +222,16 @@ def discover(
         F.lit(vid).alias("vid"),
         F.lit(round_no).alias("round_added"),
         (-F.col("__negw")).cast("double").alias("weight"),
+        F.col("__ck").alias("ck"),
     )
-    # D2 state delta: every admitted link counts as clicked on its site.
+    # ck rows of this round's ADMITTED links.  NOT yet "clicked": the
+    # reference marks links_clicked on the actual click
+    # (pagefinder.js:277-279), so the crawl loop folds a frontier row's
+    # ck into the D2 state only when the row is CLAIMED (fetched).
+    # Standalone callers that want admit-time semantics can fold these
+    # directly.
     new_clicked = fresh.select(F.col("__ck").alias("ck"))
-    return new_rows, decisions, next_state, new_clicked
+    return new_rows, decisions, state_delta, new_clicked
 
 
 def crawl_metrics(state: "CrawlState") -> DataFrame | None:
@@ -274,6 +289,7 @@ def run_crawl(
     backpressure_miss_rate: float = 0.5,
     track_clicked: bool = True,
     identities: DataFrame | None = None,
+    compact_every: int = 8,
 ) -> CrawlState:
     """The full crawl loop; one snapshot commit per round when
     ``checkpoint_dir`` is given; ``resume=True`` continues from the
@@ -292,7 +308,16 @@ def run_crawl(
     sticky identity<->domain assignment — every claimed host gets the
     lowest free identity once, reuses it in every later round, and the
     mapping persists in the ``assignments`` state table
-    (checkpointed/restored like the frontier)."""
+    (checkpointed/restored like the frontier).
+
+    Commit cost per round is O(round delta) for the append-only tables
+    (results, fetch_log, decision_log, clicked, seen_sketch — Iceberg
+    fast-appends via ``commit_append``); only the two mutating tables
+    (frontier, assignments) rewrite.  ``compact_every``: every K rounds
+    the segmented seen state is compacted (one merged segment per
+    bucket, committed as a full snapshot) and, in the no-checkpoint
+    path, lineage-truncated — amortized O(total/K) maintenance, keeping
+    the per-round admit cost O(new)."""
     tables = None
     start_round = 1
     if checkpoint_dir:
@@ -352,7 +377,12 @@ def run_crawl(
             seen_state_df = tables["seen_sketch"].read().persist()
         else:
             seen_state_df = seen_svc.init(state.frontier.select("url_hash"), "url_hash").persist()
-            if not tables:
+            if tables:
+                # Seed segments committed once; every round then APPENDS
+                # its O(new) delta segments on top (resume reads the
+                # union of segment files, never a rewritten blob).
+                tables["seen_sketch"].commit(seen_state_df, {"round": 0, "stage": "seeded"})
+            else:
                 crawl_caches.append(seen_state_df)
 
     budget_cap = None  # T8: None = healthy, no throttle
@@ -362,6 +392,7 @@ def run_crawl(
             budget_cap=budget_cap,
         )
         claimed = claimed.persist()
+        round_pre_caches = []
         if identities is not None:
             # Sticky identity claim: mapped hosts reuse, new hosts take
             # the lowest free iid (first-claim-wins; get_iid analog).
@@ -370,9 +401,18 @@ def run_crawl(
             assignments = sticky_assignments(
                 claimed.select("host"), assignments, identities
             ).persist()
-            round_pre_caches = [assignments]
-        else:
-            round_pre_caches = []
+            round_pre_caches.append(assignments)
+        round_clicked = None
+        if track_clicked:
+            # D2 fold at CLAIM time (pagefinder.js:277-279: links_clicked
+            # records actual clicks): the ck of every frontier row being
+            # fetched this round joins the clicked-text state NOW, so
+            # this round's candidates are already suppressed by it.
+            # Admitted-but-never-claimed links do not suppress anything
+            # — the reference would still follow them.
+            round_clicked = claimed.filter(F.col("ck").isNotNull()).select("ck").persist()
+            round_pre_caches.append(round_clicked)
+            clicked = round_clicked if clicked is None else clicked.unionByName(round_clicked)
         # parsed is the round's single most expensive computation (the
         # html parse).  An ordinary persist() is NOT enough: the settle
         # checkpoint and the admit chain materialize as CONCURRENT AQE
@@ -414,24 +454,24 @@ def run_crawl(
         )
         seen = state.frontier.select("url", "url_hash")
         round_caches: list = [parsed, *round_pre_caches]
-        new_rows, link_decisions, next_state, new_clicked = discover(
+        new_rows, link_decisions, state_delta, _admit_ck = discover(
             links, seen, patterns, round_no=r, vid=vid,
             seen_state=seen_svc, state=seen_state_df, caches=round_caches,
             clicked=clicked,
         )
-        # D2 state fold: newly-admitted links' texts are now 'clicked'.
-        # new_clicked reads the round's persisted admit cache, so the
-        # union's lineage stays cheap; the tables path truncates it via
-        # the snapshot commit below.
-        if track_clicked:
-            clicked = new_clicked if clicked is None else clicked.unionByName(new_clicked)
+        # (D2 fold happens at CLAIM time above — _admit_ck, the admitted
+        # links' ck rows, is for standalone discover() callers only.)
         # new_rows feeds the settled frontier (and the snapshot commit);
         # pin it so its seen-state lineage isn't re-evaluated per consumer.
         new_rows = new_rows.persist()
         round_caches.append(new_rows)
 
+        # round_added rides along so log rows share the frontier's
+        # compound (qid, round_added) key — qid alone can collide
+        # between a seed (file_order) and a discovery (url_hash).
         log = fetched_meta.select(
             "qid",
+            "round_added",
             "url",
             "host",
             F.lit(r).alias("round"),
@@ -453,7 +493,10 @@ def run_crawl(
 
         nxt = None
         if tables:
-            # Snapshot commit truncates lineage: re-read what we wrote.
+            # Mutating tables (frontier, assignments) rewrite; every
+            # append-only table commits ONLY this round's delta (the
+            # Iceberg fast-append) and is re-read as the file union —
+            # per-round commit cost is O(round delta), not O(table).
             n_claimed = claimed.count()
             if n_claimed == 0:
                 # drained: drop EVERY cache this round pinned (parsed,
@@ -465,22 +508,30 @@ def run_crawl(
                 break
             summary = {"round": r, "claimed": n_claimed}
             tables["frontier"].commit(state.frontier, summary)
-            tables["results"].commit(state.results, summary)
-            tables["fetch_log"].commit(state.fetch_log, summary)
-            tables["decision_log"].commit(state.decision_log, summary)
-            tables["clicked"].commit(clicked, summary)
+            tables["results"].commit_append(round_results, summary)
+            tables["fetch_log"].commit_append(log, summary)
+            tables["decision_log"].commit_append(link_decisions, summary)
+            if round_clicked is not None:
+                tables["clicked"].commit_append(round_clicked, summary)
+                clicked = tables["clicked"].read()
             if assignments is not None:
                 tables["assignments"].commit(assignments, summary)
                 assignments = tables["assignments"].read()
-            if next_state is not None:
-                tables["seen_sketch"].commit(next_state, summary)
+            if state_delta is not None:
+                tables["seen_sketch"].commit_append(state_delta, summary)
+                if seen_svc is not None and r % compact_every == 0:
+                    # Lazy maintenance: merge each bucket's segments into
+                    # one (full rewrite, amortized O(total/K) per round).
+                    tables["seen_sketch"].commit(
+                        seen_svc.compact(tables["seen_sketch"].read()),
+                        {"round": r, "stage": "compacted"},
+                    )
             state.frontier = tables["frontier"].read()
             state.results = tables["results"].read()
             state.fetch_log = tables["fetch_log"].read()
             state.decision_log = tables["decision_log"].read()
-            clicked = tables["clicked"].read()
             state.metrics.append(summary)
-            if next_state is not None:
+            if state_delta is not None:
                 nxt = tables["seen_sketch"].read().persist()
         else:
             # No checkpoint: pin each round's frontier to break lineage
@@ -491,9 +542,25 @@ def run_crawl(
             # not until the round ends.  The snapshot-table path instead
             # rewrites state to disk and can drop caches per round.
             state.frontier = state.frontier.localCheckpoint(eager=True)
-            # next_state is backed by the (now materialized) admitted
-            # cache — no extra action needed.
-            nxt = next_state
+            if state_delta is not None:
+                # Prior segments are untouched; the delta is backed by
+                # the (now materialized) admitted cache — no extra
+                # action needed to advance.
+                from tripwire_spark.operators.seen import SeenState
+
+                nxt = SeenState.advance(seen_state_df, state_delta)
+            if r % compact_every == 0:
+                # Bound plan growth of the per-round union chains (seen
+                # segments, clicked ck state, results/log DAGs): compact
+                # + pin every K rounds, so an arbitrary max_rounds crawl
+                # never accumulates an unbounded lineage.
+                if nxt is not None and seen_svc is not None:
+                    nxt = seen_svc.compact(nxt).localCheckpoint(eager=True)
+                if clicked is not None:
+                    clicked = clicked.localCheckpoint(eager=True)
+                state.results = state.results.localCheckpoint(eager=True)
+                state.fetch_log = state.fetch_log.localCheckpoint(eager=True)
+                state.decision_log = state.decision_log.localCheckpoint(eager=True)
             # Emptiness probe AFTER the round's one materializing action:
             # reads the claimed cache (cheap) instead of forcing an extra
             # politeness evaluation up front.  A drained frontier costs

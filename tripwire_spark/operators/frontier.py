@@ -39,8 +39,13 @@ ST_DISABLED = "disabled"
 
 FRONTIER_COLS = [
     "qid", "url", "url_hash", "host", "alexa", "try", "status", "queue", "vid",
-    "round_added", "weight",
+    "round_added", "weight", "ck",
 ]
+# ``ck`` = xxhash64(parent reg-domain, anchor text) of the link that
+# discovered the row (NULL for seeds).  It rides the frontier so the D2
+# clicked-text state can be folded at CLAIM time — the reference marks
+# links_clicked only on an actual click (pagefinder.js:277-279), so an
+# admitted-but-never-claimed link must NOT suppress same-text candidates.
 
 # The frontier's claim-priority key (W2 / O1): FIFO across rounds
 # (seeds of round 0 first), best-scoring links first within a round
@@ -85,6 +90,7 @@ def build_frontier(seeds: DataFrame, patterns: list[str], vid: int = 1, queue: s
         F.lit(vid).alias("vid"),
         F.lit(0).alias("round_added"),
         F.lit(None).cast("double").alias("weight"),
+        F.lit(None).cast("long").alias("ck"),
     )
 
 
@@ -219,6 +225,7 @@ def settle(
         "vid",
         "round_added",
         "weight",
+        "ck",
     )
     if new_urls is not None:
         merged = merged.unionByName(new_urls.select(*FRONTIER_COLS))

@@ -219,26 +219,50 @@ def filter_unseen(
 
 
 class SeenState:
-    """Bucket-sharded URL-seen *state service*: one row per bucket
-    holding (bloom bits, sorted int64 hash array).
+    """Bucket-sharded URL-seen *state service* with **delta segments**:
+    rows keyed (bucket, seg), each holding (bloom bits of the segment's
+    hashes, sorted int64 hash array of the segment).
 
     ``admit()`` performs the entire per-round seen-set interaction —
     in-round dedup, membership test, state update — as ONE cogrouped
     ``applyInPandas`` pass: candidates shuffle once (by bucket), the
-    state side is n_buckets tiny blob rows, and the output carries both
-    the admitted (fresh) candidates and the next round's state.  This
-    replaces a dedup window + bloom probe + exact anti-join + sketch
-    merge (4+ shuffles, 2 driver actions) with a single shuffle
-    round-trip — the difference between a ~35-stage and a ~10-stage
-    crawl round, which is what dominates wall-clock on a real cluster's
-    scheduler as much as in local mode.
+    state side is a handful of blob rows per bucket, and the output
+    carries the admitted (fresh) candidates plus ONE NEW delta segment
+    per touched bucket.  This replaces a dedup window + bloom probe +
+    exact anti-join + sketch merge (4+ shuffles, 2 driver actions) with
+    a single shuffle round-trip — the difference between a ~35-stage
+    and a ~10-stage crawl round, which is what dominates wall-clock on
+    a real cluster's scheduler as much as in local mode.
+
+    Per-round cost is **O(new), not O(total)**, on both axes the old
+    design got wrong:
+
+    - **state written per round = O(new urls)**: admit emits only a
+      delta segment (this round's fresh hashes + their bloom bits);
+      prior segments are never re-emitted through the shuffle or the
+      snapshot commit (Iceberg append, not rewrite).  Segment sprawl is
+      bounded by lazy ``compact()`` (merge all segments of a bucket
+      into one) every K rounds — amortized O(total/K) per round,
+      tunable.
+    - **state read per round = touched buckets only**: the state input
+      is semi-joined against the candidates' distinct bucket set
+      (broadcast — at most n_buckets ints), so buckets receiving no
+      candidates this round never enter the cogroup shuffle at all and
+      their stored blobs pass to the next snapshot byte-identical
+      (asserted in tests/test_seen.py).  With uniform hashing a large
+      round touches every bucket — then the read is the bloom+hash
+      working set, which membership fundamentally requires — but
+      sparse rounds (crawl tail, targeted re-crawls) read only their
+      slice.
 
     Scale math: n_buckets is the sharding knob.  At 10^10 urls with
-    n_buckets=4096, each bucket holds ~20 MB of hashes + ~3 MB of bloom
-    bits — one comfortable Arrow blob per task.  The bloom bits ride
+    n_buckets=4096, each bucket's COMPACTED state is ~20 MB of hashes +
+    ~3 MB of bloom bits — one comfortable Arrow blob per task; a
+    round's delta segments are KBs.  The per-segment bloom bits ride
     along for the spill regime (state too big to load → bloom prefilter
-    + exact backstop, see ``filter_unseen``); in the in-core regime the
-    sorted-array ``searchsorted`` IS the exact check.  Membership is
+    + exact backstop, see ``filter_unseen``; segment blooms OR together
+    at compaction); in the in-core regime the sorted-array
+    ``searchsorted`` per segment IS the exact check.  Membership is
     hash-exact (xxhash64): P[any collision] ≈ n²/2^65 ≈ 0.003 even at
     10^10 urls, and the fixture tests compare url SETS, where no
     collisions occur at test scale.
@@ -248,7 +272,9 @@ class SeenState:
     url (schema.sql:902-907 norm_url), per SURVEY.md §2.7 D7/F2.
     """
 
-    STATE_SCHEMA = "bucket int, bloom binary, hashes binary, n_items long, m_bits long, k int"
+    STATE_SCHEMA = (
+        "bucket int, seg int, bloom binary, hashes binary, n_items long, m_bits long, k int"
+    )
 
     def __init__(self, n_buckets: int = 64, bits_per_key: int = 10, capacity: int = 1_000_000) -> None:
         self.n_buckets = n_buckets
@@ -267,7 +293,8 @@ class SeenState:
         return bits.tobytes()
 
     def init(self, urls: DataFrame, hash_col: str = "url_hash") -> DataFrame:
-        """Seed state from an initial url-hash set (e.g. the seeded frontier)."""
+        """Seed state from an initial url-hash set (e.g. the seeded
+        frontier): one seg=0 row per bucket."""
         k, m, mk_bloom = self.k, self.m_bits, self._bloom_of
 
         def make(key, pdf: pd.DataFrame):
@@ -275,6 +302,7 @@ class SeenState:
             return pd.DataFrame(
                 {
                     "bucket": [int(key[0])],
+                    "seg": [0],
                     "bloom": [mk_bloom(hs)],
                     "hashes": [hs.tobytes()],
                     "n_items": [len(hs)],
@@ -294,7 +322,16 @@ class SeenState:
         order_cols: list[str] | None = None,
     ) -> DataFrame:
         """(candidates, state) -> mixed rows: kind=0 fresh candidates,
-        kind=1 next-round state.
+        kind=1 the NEW delta segment per touched bucket (one row, only
+        this round's fresh hashes — prior segments are NOT re-emitted).
+        Compose the next state with ``advance(state, delta)`` (in
+        memory) or an append-commit of the delta (snapshot table).
+
+        The state side is pruned to TOUCHED buckets before the cogroup
+        (broadcast semi-join on the candidates' distinct bucket set):
+        buckets with no candidates this round contribute zero bytes to
+        the shuffle and their stored rows flow to the next snapshot
+        untouched.
 
         Dedup within the batch keeps the first row per ``hash_col`` in
         ``order_cols`` ascending order (pass a total order for
@@ -302,14 +339,14 @@ class SeenState:
         upcast would corrupt 64-bit hashes).
         """
         order_cols = order_cols or []
-        k_d, m_d, nb = self.k, self.m_bits, self.n_buckets
-        mk_bloom = self._bloom_of
+        k_d, m_d = self.k, self.m_bits
         cand_fields = [
             T.StructField(f.name, f.dataType, True) for f in candidates.schema.fields
         ]
         out_schema = T.StructType(
             [T.StructField("kind", T.IntegerType(), False),
-             T.StructField("bucket", T.IntegerType(), False)]
+             T.StructField("bucket", T.IntegerType(), False),
+             T.StructField("seg", T.IntegerType(), True)]
             + cand_fields
             + [
                 T.StructField("bloom", T.BinaryType(), True),
@@ -320,66 +357,115 @@ class SeenState:
             ]
         )
         cand_cols = [f.name for f in cand_fields]
-        state_pad = {c: None for c in ("bloom", "hashes", "n_items", "m_bits", "k")}
+        state_pad = ("bloom", "hashes", "n_items", "m_bits", "k")
+        out_cols = ["kind", "bucket", "seg", *cand_cols, *state_pad]
 
         def step(key, cand: pd.DataFrame, st: pd.DataFrame):
             bucket = int(key[0])
+            segs: list[np.ndarray] = []
             if len(st):
-                old = np.frombuffer(st["hashes"].iloc[0], dtype=np.int64)
-                bloom_bits = np.frombuffer(st["bloom"].iloc[0], dtype=np.uint8).copy()
+                segs = [np.frombuffer(b, dtype=np.int64) for b in st["hashes"]]
                 m = int(st["m_bits"].iloc[0]); kk = int(st["k"].iloc[0])
+                next_seg = int(st["seg"].max()) + 1
             else:
-                old = np.empty(0, dtype=np.int64)
-                bloom_bits = np.zeros((m_d + 7) // 8, dtype=np.uint8)
                 m, kk = m_d, k_d
+                next_seg = 0
             cand = cand.drop(columns="__bucket")
             if len(cand):
                 if order_cols:
                     cand = cand.sort_values([hash_col, *order_cols], kind="mergesort")
                 cand = cand.drop_duplicates(subset=[hash_col], keep="first")
                 hs = cand[hash_col].to_numpy(dtype=np.int64)
-                idx = np.searchsorted(old, hs)
-                idx_c = np.clip(idx, 0, max(len(old) - 1, 0))
-                seen = (old[idx_c] == hs) if len(old) else np.zeros(len(hs), dtype=bool)
+                seen = np.zeros(len(hs), dtype=bool)
+                for old in segs:  # each segment is sorted; <= max_segments of them
+                    if len(old):
+                        idx = np.clip(np.searchsorted(old, hs), 0, len(old) - 1)
+                        seen |= old[idx] == hs
                 fresh = cand[~seen].copy()
-                fhs = hs[~seen]
+                fhs = np.sort(hs[~seen])
             else:
                 fresh = cand
                 fhs = np.empty(0, dtype=np.int64)
-            merged = np.union1d(old, fhs)
-            if len(fhs):
-                pos = _positions(fhs, kk, m).ravel()
-                np.bitwise_or.at(bloom_bits, pos // 8, np.uint8(1) << (pos % 8).astype(np.uint8))
             fresh.insert(0, "kind", 0)
             fresh.insert(1, "bucket", bucket)
+            fresh.insert(2, "seg", None)
             for c in state_pad:
                 fresh[c] = None
+            if len(fhs) == 0:
+                return fresh[out_cols]
+            # delta bloom covers ONLY this segment's hashes; segment
+            # blooms OR together at compact() time (same m, same k).
+            delta_bloom = np.zeros((m + 7) // 8, dtype=np.uint8)
+            pos = _positions(fhs, kk, m).ravel()
+            np.bitwise_or.at(delta_bloom, pos // 8, np.uint8(1) << (pos % 8).astype(np.uint8))
             st_row = {c: [None] for c in cand_cols}
             st_row.update(
-                kind=[1], bucket=[bucket], bloom=[bloom_bits.tobytes()],
-                hashes=[merged.tobytes()], n_items=[len(merged)], m_bits=[m], k=[kk],
+                kind=[1], bucket=[bucket], seg=[next_seg],
+                bloom=[delta_bloom.tobytes()], hashes=[fhs.tobytes()],
+                n_items=[len(fhs)], m_bits=[m], k=[kk],
             )
             with warnings.catch_warnings():
                 # all-NA padding columns are intentional (union schema)
                 warnings.simplefilter("ignore", FutureWarning)
                 out = pd.concat([fresh, pd.DataFrame(st_row)], ignore_index=True)
-            return out[["kind", "bucket", *cand_cols, "bloom", "hashes", "n_items", "m_bits", "k"]]
+            return out[out_cols]
 
         cand = candidates.withColumn("__bucket", self.bucket_col(F.col(hash_col)))
+        # Touched-bucket pruning: at most n_buckets distinct ints,
+        # broadcast; untouched state rows never enter the shuffle.
+        touched = cand.select(F.col("__bucket").alias("bucket")).distinct()
+        state_in = state.join(F.broadcast(touched), "bucket", "left_semi")
         return (
             cand.groupBy("__bucket")
-            .cogroup(state.groupBy(F.col("bucket").alias("__bucket")))
+            .cogroup(state_in.groupBy(F.col("bucket").alias("__bucket")))
             .applyInPandas(step, schema=out_schema)
         )
 
     @staticmethod
     def split(admitted: DataFrame, cand_cols: list[str]) -> tuple[DataFrame, DataFrame]:
-        """(fresh candidates, next state) from a cached admit() result."""
+        """(fresh candidates, NEW delta segments) from a cached admit()
+        result.  The delta is O(new urls); union it onto the prior state
+        (``advance``) or append-commit it to the state's snapshot table."""
         fresh = admitted.filter(F.col("kind") == 0).select(*cand_cols)
-        nxt = admitted.filter(F.col("kind") == 1).select(
-            "bucket", "bloom", "hashes", "n_items", "m_bits", "k"
+        delta = admitted.filter(F.col("kind") == 1).select(
+            "bucket", "seg", "bloom", "hashes", "n_items", "m_bits", "k"
         )
-        return fresh, nxt
+        return fresh, delta
+
+    @staticmethod
+    def advance(state: DataFrame, delta: DataFrame) -> DataFrame:
+        """Next-round state = prior segments (byte-untouched) + the new
+        delta segments."""
+        cols = ["bucket", "seg", "bloom", "hashes", "n_items", "m_bits", "k"]
+        return state.select(*cols).unionByName(delta.select(*cols))
+
+    def compact(self, state: DataFrame) -> DataFrame:
+        """Merge every bucket's segments into one seg=0 row (sorted-hash
+        union, bloom OR).  Lazy maintenance: run every K rounds, so the
+        per-round amortized rewrite is O(total/K) while admit() itself
+        stays O(new)."""
+
+        def merge(key, pdf: pd.DataFrame):
+            hs = (
+                np.unique(np.concatenate([np.frombuffer(b, dtype=np.int64) for b in pdf["hashes"]]))
+                if len(pdf)
+                else np.empty(0, dtype=np.int64)
+            )
+            blooms = [np.frombuffer(b, dtype=np.uint8) for b in pdf["bloom"]]
+            bloom = np.bitwise_or.reduce(blooms) if blooms else np.empty(0, dtype=np.uint8)
+            return pd.DataFrame(
+                {
+                    "bucket": [int(key[0])],
+                    "seg": [0],
+                    "bloom": [bloom.tobytes()],
+                    "hashes": [hs.tobytes()],
+                    "n_items": [len(hs)],
+                    "m_bits": [int(pdf["m_bits"].iloc[0])],
+                    "k": [int(pdf["k"].iloc[0])],
+                }
+            )
+
+        return state.groupBy("bucket").applyInPandas(merge, schema=self.STATE_SCHEMA)
 
 
 class CuckooSeenSet:

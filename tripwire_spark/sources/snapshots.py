@@ -13,9 +13,12 @@ its contract the engine relies on over plain Parquet:
   (per-round lineage metrics live here).
 - **time travel / resume**: ``read(snapshot_id)`` or latest.
 
-If real Iceberg is on the classpath (import-try at module load), the
-``IcebergSnapshotTable`` subclass delegates to ``writeTo(...)`` /
-``VERSION AS OF`` instead; same interface.
+If real Iceberg is on the classpath (``iceberg_available()`` probes the
+JVM), the ``IcebergSnapshotTable`` subclass delegates data storage to
+``writeTo(...)`` / snapshot-id time travel instead; same interface, and
+the JSON manifest shrinks to a summary ledger mapping our monotonically
+increasing ids to Iceberg snapshot ids (Iceberg owns atomicity, file
+lists, and GC).  The container default remains the Parquet stand-in.
 """
 
 from __future__ import annotations
@@ -53,27 +56,66 @@ class SnapshotTable:
         snaps = self.snapshots()
         return snaps[-1]["id"] if snaps else None
 
+    @staticmethod
+    def _paths(snap: dict) -> list[str]:
+        """Data files of a snapshot (append snapshots list several)."""
+        return snap.get("paths") or [snap["path"]]
+
+    def _write_manifest(self, man: dict) -> None:
+        tmp = self._manifest_path + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(man, f, indent=1)
+        os.replace(tmp, self._manifest_path)  # atomic pointer swap
+
     # -- commit / read ------------------------------------------------------
+    def _new_data_dir(self, sid: int) -> str:
+        return os.path.join(self.dir, f"snap-{sid:06d}-{uuid.uuid4().hex[:8]}")
+
     def commit(self, df: DataFrame, summary: dict | None = None) -> int:
-        """Write ``df`` as a new immutable snapshot; atomic manifest swap."""
+        """Write ``df`` as a new FULL immutable snapshot (table rewrite);
+        atomic manifest swap."""
         man = self._manifest()
         parent = man["snapshots"][-1]["id"] if man["snapshots"] else None
         sid = (parent or 0) + 1
-        data_dir = os.path.join(self.dir, f"snap-{sid:06d}-{uuid.uuid4().hex[:8]}")
+        data_dir = self._new_data_dir(sid)
         df.write.mode("overwrite").parquet(data_dir)
         man["snapshots"].append(
             {
                 "id": sid,
                 "parent": parent,
                 "path": data_dir,
+                "op": "overwrite",
                 "ts": time.time(),
                 "summary": summary or {},
             }
         )
-        tmp = self._manifest_path + f".tmp.{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            json.dump(man, f, indent=1)
-        os.replace(tmp, self._manifest_path)  # atomic pointer swap
+        self._write_manifest(man)
+        return sid
+
+    def commit_append(self, delta: DataFrame, summary: dict | None = None) -> int:
+        """APPEND ``delta`` as a new snapshot: writes only the delta's
+        bytes and records (parent's data files + the new one) — the
+        Iceberg fast-append.  A round's commit therefore costs O(round
+        delta), not O(table); ``read()`` unions the file list.  Falls
+        back to a full commit when the table has no snapshots yet."""
+        man = self._manifest()
+        if not man["snapshots"]:
+            return self.commit(delta, summary)
+        parent = man["snapshots"][-1]
+        sid = parent["id"] + 1
+        data_dir = self._new_data_dir(sid)
+        delta.write.mode("overwrite").parquet(data_dir)
+        man["snapshots"].append(
+            {
+                "id": sid,
+                "parent": parent["id"],
+                "paths": self._paths(parent) + [data_dir],
+                "op": "append",
+                "ts": time.time(),
+                "summary": summary or {},
+            }
+        )
+        self._write_manifest(man)
         return sid
 
     def read(self, snapshot_id: int | None = None) -> DataFrame:
@@ -84,30 +126,165 @@ class SnapshotTable:
             snap = snaps[-1]
         else:
             snap = next(s for s in snaps if s["id"] == snapshot_id)
-        return self.spark.read.parquet(snap["path"])
+        return self.spark.read.parquet(*self._paths(snap))
 
     def rollback(self, snapshot_id: int) -> None:
-        """Drop snapshots newer than ``snapshot_id`` (resume-after-kill)."""
+        """Drop snapshots newer than ``snapshot_id`` (resume-after-kill).
+        Data dirs still referenced by a kept snapshot (append lineage)
+        survive; only orphaned dirs are deleted."""
         man = self._manifest()
         keep, drop = [], []
         for s in man["snapshots"]:
             (keep if s["id"] <= snapshot_id else drop).append(s)
         man["snapshots"] = keep
-        tmp = self._manifest_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(man, f, indent=1)
-        os.replace(tmp, self._manifest_path)
+        self._write_manifest(man)
+        referenced = {p for s in keep for p in self._paths(s)}
         for s in drop:
-            shutil.rmtree(s["path"], ignore_errors=True)
+            for p in self._paths(s):
+                if p not in referenced:
+                    shutil.rmtree(p, ignore_errors=True)
 
     def expire_snapshots(self, keep_last: int = 2) -> None:
-        """GC old snapshot data dirs, keeping manifest history."""
+        """GC data dirs reachable only from expired snapshots, keeping
+        manifest history (Iceberg expire_snapshots)."""
         man = self._manifest()
+        kept = man["snapshots"][-keep_last:]
+        referenced = {p for s in kept for p in self._paths(s)}
         for s in man["snapshots"][:-keep_last]:
-            if os.path.exists(s["path"]):
-                shutil.rmtree(s["path"], ignore_errors=True)
-                s["expired"] = True
-        tmp = self._manifest_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(man, f, indent=1)
-        os.replace(tmp, self._manifest_path)
+            for p in self._paths(s):
+                if p not in referenced and os.path.exists(p):
+                    shutil.rmtree(p, ignore_errors=True)
+                    s["expired"] = True
+        self._write_manifest(man)
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when the Iceberg Spark runtime is on the JVM classpath AND a
+    catalog is configured (``spark.sql.catalog.<name>``).  Probed at
+    call time, not import time, so a session started with
+    ``--packages org.apache.iceberg:iceberg-spark-runtime...`` upgrades
+    transparently."""
+    try:
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001 — JVM classpath probe
+            "org.apache.iceberg.catalog.Catalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+class IcebergSnapshotTable(SnapshotTable):
+    """SnapshotTable over a real Iceberg catalog table.
+
+    Data commits delegate to the DataFrameWriterV2 API
+    (``df.writeTo(t).createOrReplace()`` for full snapshots,
+    ``.append()`` for fast-appends); reads time-travel via the
+    ``snapshot-id`` read option (the DataFrame twin of ``VERSION AS
+    OF``); rollback calls the ``rollback_to_snapshot`` procedure.  The
+    local JSON manifest persists only our ledger — (our id → iceberg
+    snapshot id, caller summary) — because the crawl resume path reads
+    per-round summaries (``snapshots()[-1]["summary"]``), which Iceberg
+    snapshot properties do not round-trip as a dict.
+
+    Production note (100 TB): the seen-state and log tables are
+    append-only, so every per-round commit is an Iceberg fast-append —
+    manifest-list surgery, no data rewrite; ``expire_snapshots`` maps to
+    the catalog's own maintenance procedure.
+    """
+
+    def __init__(
+        self, spark: SparkSession, base_dir: str, name: str, catalog: str = "iceberg"
+    ) -> None:
+        if not iceberg_available(spark):
+            raise RuntimeError("Iceberg runtime not on the classpath")
+        super().__init__(spark, base_dir, name)
+        safe = name.replace("-", "_")
+        self.identifier = f"{catalog}.tripwire_ck.{safe}"
+        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {catalog}.tripwire_ck")
+
+    def _current_iceberg_snapshot(self) -> int:
+        row = (
+            self.spark.sql(
+                f"SELECT snapshot_id FROM {self.identifier}.snapshots ORDER BY committed_at DESC LIMIT 1"
+            )
+        ).collect()
+        return int(row[0][0])
+
+    def _record(self, op: str, summary: dict | None) -> int:
+        man = self._manifest()
+        parent = man["snapshots"][-1]["id"] if man["snapshots"] else None
+        sid = (parent or 0) + 1
+        man["snapshots"].append(
+            {
+                "id": sid,
+                "parent": parent,
+                "op": op,
+                "iceberg_snapshot_id": self._current_iceberg_snapshot(),
+                "ts": time.time(),
+                "summary": summary or {},
+            }
+        )
+        self._write_manifest(man)
+        return sid
+
+    def commit(self, df: DataFrame, summary: dict | None = None) -> int:
+        df.writeTo(self.identifier).using("iceberg").createOrReplace()
+        return self._record("overwrite", summary)
+
+    def commit_append(self, delta: DataFrame, summary: dict | None = None) -> int:
+        if self.latest_id() is None:
+            return self.commit(delta, summary)
+        delta.writeTo(self.identifier).append()
+        return self._record("append", summary)
+
+    def read(self, snapshot_id: int | None = None) -> DataFrame:
+        snaps = self.snapshots()
+        if not snaps:
+            raise FileNotFoundError(f"table {self.name}: no snapshots")
+        snap = snaps[-1] if snapshot_id is None else next(
+            s for s in snaps if s["id"] == snapshot_id
+        )
+        return (
+            self.spark.read.option("snapshot-id", snap["iceberg_snapshot_id"])
+            .table(self.identifier)
+        )
+
+    def rollback(self, snapshot_id: int) -> None:
+        man = self._manifest()
+        keep = [s for s in man["snapshots"] if s["id"] <= snapshot_id]
+        if not keep:
+            raise ValueError(f"snapshot {snapshot_id} not found")
+        catalog = self.identifier.split(".", 1)[0]
+        self.spark.sql(
+            f"CALL {catalog}.system.rollback_to_snapshot('{self.identifier.split('.', 1)[1]}', "
+            f"{keep[-1]['iceberg_snapshot_id']})"
+        )
+        man["snapshots"] = keep
+        self._write_manifest(man)
+
+    def expire_snapshots(self, keep_last: int = 2) -> None:
+        man = self._manifest()
+        old = man["snapshots"][:-keep_last]
+        if not old:
+            return
+        catalog, table = self.identifier.split(".", 1)
+        self.spark.sql(
+            f"CALL {catalog}.system.expire_snapshots(table => '{table}', "
+            f"snapshot_ids => ARRAY({', '.join(str(s['iceberg_snapshot_id']) for s in old)}))"
+        )
+        for s in old:
+            s["expired"] = True
+        self._write_manifest(man)
+
+
+def open_snapshot_table(
+    spark: SparkSession, base_dir: str, name: str, prefer_iceberg: bool = True
+) -> SnapshotTable:
+    """Factory: the Iceberg-backed table when the runtime is present,
+    else the Parquet stand-in — callers (run_crawl) stay agnostic."""
+    if prefer_iceberg and iceberg_available(spark):
+        try:
+            return IcebergSnapshotTable(spark, base_dir, name)
+        except Exception:
+            pass
+    return SnapshotTable(spark, base_dir, name)
