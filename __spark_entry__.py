@@ -1173,8 +1173,75 @@ def q_gid_sharding(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_submit_check(spark: SparkSession, sf: str) -> DataFrame:
+    # Post-submit verification state machine (submitcheck.js:144-264):
+    # pre/post ERROR+COMEON keyword deltas, retry-once when the form
+    # survives the first click, ec 70/71 mapping.  Six scenario classes
+    # (doc_id % 6) exercise every verdict branch: clean pass,
+    # retry-then-pass, form-survives-retry (70), still-reg-page (71),
+    # error-words-increased, url-unchanged.
+    from tripwire_spark.operators.submitcheck import submit_check
+
+    d = _t(spark, sf, "documents")
+    s = F.pmod(F.col("doc_id"), F.lit(6))
+    pre_url = F.concat(F.lit("http://site"), F.col("doc_id"), F.lit(".test/register"))
+    pre_text = F.concat(F.lit("Register now sign up "), F.col("text"))
+    done_url = F.concat(F.lit("http://site"), F.col("doc_id"), F.lit(".test/done"))
+    post_text = F.element_at(
+        F.array(
+            F.lit("welcome aboard thank you"),
+            F.lit("Register still sign up"),
+            F.lit("Register still sign up"),
+            F.lit("thank you confirmation page"),
+            F.concat(F.lit("error invalid warning error "), pre_text),
+            F.lit("welcome aboard"),
+        ),
+        (s + 1).cast("int"),
+    )
+    attempts = d.select(
+        F.col("doc_id").alias("page_id"),
+        pre_url.alias("pre_url"),
+        pre_text.alias("pre_text"),
+        F.when(s == 5, pre_url).otherwise(done_url).alias("post_url"),
+        post_text.alias("post_text"),
+        s.isin(1, 2).alias("post_form_exists"),
+        s.isin(1, 2, 3).alias("post_is_reg"),
+        F.when(s == 1, F.concat(done_url, F.lit("?ok"))).otherwise(done_url).alias("retry_url"),
+        F.when(s == 1, F.lit("welcome aboard")).otherwise(post_text).alias("retry_text"),
+        (s == 2).alias("retry_form_exists"),
+        (s == 2).alias("retry_is_reg"),
+    )
+    return submit_check(attempts)
+
+
+def q_clicked_text_hash(spark: SparkSession, sf: str) -> DataFrame:
+    # D2 as the crawl actually runs it (crawl.py:141-159): the
+    # clicked-text state is the single 64-bit key ck = xxhash64(parent
+    # host, anchor text); a candidate is followed iff no SAME ck was
+    # followed in an earlier round.  The oracle restates admit-then-probe
+    # on the explicit (phost, text) pair key — equal output pins the
+    # xxhash64 collision-tolerance contract (a collision would suppress
+    # extra links here and hash-mismatch).
+    e = _t(spark, sf, "events")
+    texts = F.array(
+        F.lit("Sign up"), F.lit("Register"), F.lit("Join now"), F.lit("Account"), F.lit("Login")
+    )
+    links = e.select(
+        F.col("event_id").alias("link_id"),
+        F.format_string("site%02d.test", F.pmod(F.col("user_id"), F.lit(25))).alias("phost"),
+        (F.pmod(F.col("event_id"), F.lit(3)) + 1).alias("round"),
+        F.element_at(texts, (F.pmod(F.col("event_id"), F.lit(5)) + 1).cast("int")).alias("lt"),
+    ).withColumn("ck", F.xxhash64("phost", "lt"))
+    w = Window.partitionBy("ck")  # the HASH key, not the string pair
+    return links.withColumn(
+        "followed", F.col("round") == F.min("round").over(w)
+    ).select("link_id", "phost", "round", "lt", "followed")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "recaptcha_filter": q_recaptcha_filter,
+    "submit_check": q_submit_check,
+    "clicked_text_hash": q_clicked_text_hash,
     "nested_anti_join": q_nested_anti_join,
     "select_payload": q_select_payload,
     "count_distinct": q_count_distinct,
@@ -1688,6 +1755,78 @@ ORACLES.update(
                    CASE WHEN c_custkey % 4 = 0 THEN 'http://site' || c_custkey || '.test/p1'
                         ELSE 'https://shop' || c_custkey || '.example.com/signup' END AS url
             FROM customer WHERE c_custkey % 4 IN (0, 2)
+        """,
+        "submit_check": """
+            WITH base AS (
+              SELECT doc_id AS page_id, doc_id % 6 AS s,
+                     'http://site' || doc_id || '.test/register' AS pre_url,
+                     'Register now sign up ' || text AS pre_text,
+                     'http://site' || doc_id || '.test/done' AS done_url
+              FROM documents),
+            attempts AS (
+              SELECT page_id, s, pre_url, pre_text,
+                     CASE WHEN s = 5 THEN pre_url ELSE done_url END AS post_url,
+                     CASE s WHEN 0 THEN 'welcome aboard thank you'
+                            WHEN 1 THEN 'Register still sign up'
+                            WHEN 2 THEN 'Register still sign up'
+                            WHEN 3 THEN 'thank you confirmation page'
+                            WHEN 4 THEN 'error invalid warning error ' || pre_text
+                            ELSE 'welcome aboard' END AS post_text,
+                     s IN (1, 2) AS post_form_exists,
+                     s IN (1, 2, 3) AS post_is_reg,
+                     CASE WHEN s = 1 THEN done_url || '?ok' ELSE done_url END AS retry_url,
+                     (s = 2) AS retry_form_exists,
+                     (s = 2) AS retry_is_reg,
+                     done_url
+              FROM base),
+            folded AS (
+              SELECT page_id, pre_url, pre_text,
+                     post_form_exists AS retried,
+                     CASE WHEN post_form_exists THEN retry_url ELSE post_url END AS f_url,
+                     CASE WHEN post_form_exists
+                          THEN (CASE WHEN s = 1 THEN 'welcome aboard' ELSE post_text END)
+                          ELSE post_text END AS f_text,
+                     CASE WHEN post_form_exists THEN retry_form_exists
+                          ELSE post_form_exists END AS f_form,
+                     CASE WHEN post_form_exists THEN retry_is_reg
+                          ELSE post_is_reg END AS f_reg
+              FROM attempts),
+            counted AS (
+              SELECT *,
+                     len(regexp_extract_all(pre_text, '(?i)warning'))
+                       + len(regexp_extract_all(pre_text, '(?i)error'))
+                       + len(regexp_extract_all(pre_text, '(?i)invalid')) AS n_err_pre,
+                     len(regexp_extract_all(f_text, '(?i)warning'))
+                       + len(regexp_extract_all(f_text, '(?i)error'))
+                       + len(regexp_extract_all(f_text, '(?i)invalid')) AS n_err_post,
+                     len(regexp_extract_all(pre_text, '(?i)regist'))
+                       + len(regexp_extract_all(pre_text, '(?i)sign.*in'))
+                       + len(regexp_extract_all(pre_text, '(?i)sign.*up')) AS n_comeon_pre,
+                     len(regexp_extract_all(f_text, '(?i)regist'))
+                       + len(regexp_extract_all(f_text, '(?i)sign.*in'))
+                       + len(regexp_extract_all(f_text, '(?i)sign.*up')) AS n_comeon_post
+              FROM folded)
+            SELECT page_id, retried, n_err_pre, n_err_post, n_comeon_pre, n_comeon_post,
+                   NOT f_form AS form_gone,
+                   NOT f_reg AS not_reg_page,
+                   n_err_post <= n_err_pre AS errors_ok,
+                   n_comeon_post <= n_comeon_pre AS comeons_ok,
+                   f_url <> pre_url AS url_changed,
+                   (NOT f_form AND NOT f_reg AND n_err_post <= n_err_pre
+                    AND n_comeon_post <= n_comeon_pre AND f_url <> pre_url) AS passed,
+                   CASE WHEN f_form THEN 70 WHEN f_reg THEN 71 ELSE 0 END AS ec
+            FROM counted
+        """,
+        "clicked_text_hash": """
+            WITH links AS (
+              SELECT event_id AS link_id,
+                     printf('site%02d.test', user_id % 25) AS phost,
+                     (event_id % 3) + 1 AS round,
+                     (['Sign up','Register','Join now','Account','Login'])[(event_id % 5) + 1] AS lt
+              FROM events)
+            SELECT link_id, phost, round, lt,
+                   round = min(round) OVER (PARTITION BY phost, lt) AS followed
+            FROM links
         """,
         "clicked_text_memory": """
             WITH links AS (
