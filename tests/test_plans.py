@@ -93,3 +93,27 @@ def test_politeness_aggregates_map_side(spark):
     # partial aggregation before the exchange (map-side combine)
     assert plan.count("HashAggregate") >= 2
     assert "PushedFilters:" in plan
+
+
+def test_accept_mail_parses_each_message_once(spark):
+    """The raw RFC-822 parse UDF must appear exactly once in the
+    physical plan: metadata (to_addr, subject) rides THROUGH the url
+    pipeline instead of joining back to the parsed frame, which would
+    re-parse every message on the second side of the join."""
+    import pyspark.sql.functions as F
+
+    from tripwire_spark.operators.mail_pipeline import accept_mail
+
+    raw = spark.range(20).select(
+        F.col("id").alias("umid"),
+        F.concat(
+            F.lit("To: user@example.test\r\nSubject: Please confirm your account\r\n"
+                  "Content-Type: text/plain\r\n\r\nClick http://conf"),
+            F.col("id"),
+            F.lit(".test/verify?t=1 now"),
+        ).alias("raw"),
+    )
+    out = accept_mail(raw)
+    plan = _plan(out)
+    assert plan.count("parse_message") == 1, plan
+    assert out.count() == 20  # and the pipeline still yields one row per mail

@@ -171,3 +171,71 @@ def test_visibility_retry_cycle(spark):
     re = requeue(batch, now).collect()
     assert all(r.process_attempt == 1 for r in re)
     assert all(str(r.ignore_until) == "2024-01-10 00:01:00" for r in re)
+
+
+def test_streaming_visibility_queue_tick_releases_silent_key(spark, tmp_path):
+    """A SILENT identity (no further arrivals) still releases its
+    matured messages when a tick row (umid = TICK_UMID sentinel) drives
+    its dequeue — the poller-cadence analog for keys with no inbound
+    mail."""
+    import datetime
+    import glob as globmod
+    import shutil
+    import time
+
+    from tripwire_spark.streaming.monitor import TICK_UMID, streaming_visibility_queue
+
+    src = tmp_path / "vt_src"
+    tick_src = tmp_path / "vt_ticks"
+    src.mkdir()
+    tick_src.mkdir()
+    past = datetime.datetime(2020, 1, 1)
+
+    def write_batch(dirpath, name, rows):
+        tmp = str(tmp_path / f"stage_{name}")
+        spark.createDataFrame(rows, "iid long, umid long, ignore_until timestamp").coalesce(
+            1
+        ).write.mode("overwrite").parquet(tmp)
+        for i, f in enumerate(globmod.glob(tmp + "/part-*.parquet")):
+            shutil.copy(f, str(dirpath / f"{name}_{i}.parquet"))
+
+    schema = "iid long, umid long, ignore_until timestamp"
+    soon = datetime.datetime.utcnow() + datetime.timedelta(seconds=25)
+    # identity 7 gets one delayed message and then goes silent forever
+    write_batch(src, "b1", [(7, 701, soon), (8, 801, past)])
+    arrivals = spark.readStream.schema(schema).parquet(str(src))
+    # file-backed tick stream (deterministic test twin of the rate-source
+    # helper, same sentinel shape)
+    ticks = spark.readStream.schema(schema).parquet(str(tick_src))
+    q = (
+        streaming_visibility_queue(arrivals, ticks=ticks)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("vtout")
+        .option("checkpointLocation", str(tmp_path / "ckvt"))
+        .start()
+    )
+    q.processAllAvailable()
+    assert {r.umid for r in spark.sql("SELECT * FROM vtout").collect()} == {801}
+    while datetime.datetime.utcnow() <= soon:
+        time.sleep(1)
+    # no arrival for iid 7 — only a tick
+    write_batch(tick_src, "t1", [(7, TICK_UMID, past)])
+    q.processAllAvailable()
+    q.stop()
+    got = {r.umid for r in spark.sql("SELECT * FROM vtout").collect()}
+    assert got == {801, 701}  # matured message released by the tick alone
+    assert TICK_UMID not in got  # the sentinel itself is never emitted
+
+
+def test_visibility_ticks_shape(spark):
+    """The rate-source tick helper yields a STREAMING frame in the
+    arrivals shape (iid, umid sentinel, ignore_until), one row per
+    identity per interval."""
+    from tripwire_spark.streaming.monitor import TICK_UMID, visibility_ticks
+
+    ids = spark.createDataFrame([(1,), (2,)], ["iid"])
+    t = visibility_ticks(spark, ids, interval_s=5)
+    assert t.isStreaming
+    assert [f.name for f in t.schema.fields] == ["iid", "umid", "ignore_until"]
+    assert dict((f.name, f.dataType.simpleString()) for f in t.schema.fields)["umid"] == "bigint"

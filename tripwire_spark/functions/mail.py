@@ -178,3 +178,13 @@ def select_payload(raw_message: pd.Series) -> pd.Series:
 @F.pandas_udf(MESSAGE_TYPE)
 def parse_message(raw_message: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(list(raw_message.map(parse_message_py)))
+
+
+# Evaluate-once variant for pipelines that FILTER on a column derived
+# from the parsed struct (accept_mail's subject gate): Catalyst's
+# predicate-pushdown-through-project substitutes the filter's column
+# references with their defining expressions, which would clone the
+# parse UDF below the projection and parse every message twice.  The
+# nondeterministic marking (the parse IS deterministic; the flag is an
+# optimizer fence, a standard Spark idiom) pins exactly one evaluation.
+parse_message_once = parse_message.asNondeterministic()

@@ -49,7 +49,7 @@ from tripwire_spark.operators.frontier import (
     seed_decision_log,
     settle,
 )
-from tripwire_spark.sources.snapshots import SnapshotTable
+from tripwire_spark.sources.snapshots import open_snapshot_table
 
 # Discovered URLs carry qid = their FULL 64-bit url_hash — unique among
 # discoveries by seen-set construction (each hash is admitted exactly
@@ -321,8 +321,11 @@ def run_crawl(
     tables = None
     start_round = 1
     if checkpoint_dir:
+        # Iceberg-backed when the runtime is on the classpath, else the
+        # Parquet stand-in — the loop is agnostic (same commit/append/
+        # read/rollback contract either way).
         tables = {
-            name: SnapshotTable(spark, checkpoint_dir, name)
+            name: open_snapshot_table(spark, checkpoint_dir, name)
             for name in (
                 "frontier", "results", "fetch_log", "decision_log", "seen_sketch",
                 "clicked", "assignments",

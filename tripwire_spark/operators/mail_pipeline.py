@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from tripwire_spark.functions.mail import decode_subject, extract_urls, parse_message
+from tripwire_spark.functions.mail import decode_subject, extract_urls, parse_message_once
 from tripwire_spark.functions.scoring import (
     REPEAT_BONUS,
     email_url_weight,
@@ -43,13 +43,27 @@ def best_confirmation_urls(emails: DataFrame, id_col: str = "umid", body_col: st
     return top_url(subj_ok, id_col, body_col)
 
 
-def top_url(emails: DataFrame, id_col: str = "umid", body_col: str = "body") -> DataFrame:
+def top_url(
+    emails: DataFrame,
+    id_col: str = "umid",
+    body_col: str = "body",
+    carry: list[str] | None = None,
+) -> DataFrame:
     """C10 extract -> C11 score -> D1 repeat combine -> W5 top-1, from
-    an already-subject-filtered frame."""
+    an already-subject-filtered frame.
+
+    ``carry``: per-mail metadata columns threaded through the explode /
+    group / rank pipeline (they are functionally dependent on the id, so
+    ``first()`` inside the combine is exact).  Carrying them here is
+    what keeps ``accept_mail`` at ONE parse per message — the
+    alternative join back to the parsed frame would put the parse UDF on
+    both sides of the join."""
+    carry = carry or []
     urls = emails.select(
-        F.col(id_col), F.explode(extract_urls(body_col)).alias("u")
+        F.col(id_col), *carry, F.explode(extract_urls(body_col)).alias("u")
     ).select(
         id_col,
+        *carry,
         F.col("u.url").alias("url"),
         F.col("u.domain").alias("domain"),
         F.col("u.path").alias("path"),
@@ -59,12 +73,13 @@ def top_url(emails: DataFrame, id_col: str = "umid", body_col: str = "body") -> 
     combined = scored.groupBy(id_col, "url").agg(
         (F.min_by("w0", "pos") + REPEAT_BONUS * (F.count("*") - 1)).alias("weight"),
         F.min("pos").alias("first_pos"),
+        *[F.first(c).alias(c) for c in carry],
     )
     w = Window.partitionBy(id_col).orderBy(F.col("weight").desc(), F.col("first_pos"))
     return (
         combined.withColumn("rn", F.row_number().over(w))
         .filter((F.col("rn") == 1) & (F.col("weight") >= 0))
-        .select(id_col, "url", F.col("weight").cast("double").alias("weight"))
+        .select(id_col, *carry, "url", F.col("weight").cast("double").alias("weight"))
     )
 
 
@@ -80,7 +95,7 @@ def accept_mail(raw_messages: DataFrame, id_col: str = "umid", raw_col: str = "r
     interesting mail with a non-negative best URL.
     """
     parsed = raw_messages.select(
-        F.col(id_col), parse_message(F.col(raw_col)).alias("m")
+        F.col(id_col), parse_message_once(F.col(raw_col)).alias("m")
     ).select(
         id_col,
         F.col("m.to_addr").alias("to_addr"),
@@ -88,5 +103,7 @@ def accept_mail(raw_messages: DataFrame, id_col: str = "umid", raw_col: str = "r
         F.col("m.payload").alias("body"),
     )
     interesting = parsed.filter(subject_interesting(F.col("subject_decoded")))
-    best = top_url(interesting, id_col, "body")
-    return interesting.select(id_col, "to_addr", "subject_decoded").join(best, id_col)
+    # to_addr/subject ride THROUGH the url pipeline (no join back to
+    # `interesting`), so the physical plan parses each raw message once.
+    best = top_url(interesting, id_col, "body", carry=["to_addr", "subject_decoded"])
+    return best.select(id_col, "to_addr", "subject_decoded", "url", "weight")

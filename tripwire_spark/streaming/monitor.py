@@ -127,7 +127,35 @@ def requeue(batch: DataFrame, now, delay: str = VISIBILITY_DELAY) -> DataFrame:
 # --- T3 streaming: stateful visibility queue ---------------------------------
 
 
-def streaming_visibility_queue(arrivals: DataFrame, key_col: str = "iid"):
+# Sentinel umid marking a pure-timer tick row (never enqueued).  A
+# sentinel instead of NULL keeps the Arrow batch's umid column int64 —
+# a single null would upcast it to float64 and corrupt 64-bit ids.
+TICK_UMID = -1
+
+
+def visibility_ticks(
+    spark, identities: DataFrame, interval_s: int = 12, key_col: str = "iid"
+) -> DataFrame:
+    """Periodic per-identity tick stream (the poller's cadence:
+    tripwire-mail-poller:11-14 sleeps 12 s per identity): one rate
+    source thinned to one row per ``interval_s``, crossed with the
+    small static identities dimension, shaped like arrivals with the
+    TICK_UMID sentinel payload.  Union it into
+    ``streaming_visibility_queue`` so identities with no inbound mail
+    still release matured messages on schedule; off by default because
+    the arrival-driven path needs no extra epochs."""
+    rate = spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    tick = rate.filter(F.pmod(F.col("value"), F.lit(interval_s)) == 0)
+    return tick.crossJoin(identities.select(key_col)).select(
+        F.col(key_col),
+        F.lit(TICK_UMID).cast("long").alias("umid"),
+        F.col("timestamp").cast("timestamp").alias("ignore_until"),
+    )
+
+
+def streaming_visibility_queue(
+    arrivals: DataFrame, key_col: str = "iid", ticks: DataFrame | None = None
+):
     """T3 as a CUSTOM STATEFUL streaming operator
     (``applyInPandasWithState``): the unprocessed_messages queue with
     per-identity state (handle_email.py:34,657-716; schema.sql:2210-2219).
@@ -140,11 +168,12 @@ def streaming_visibility_queue(arrivals: DataFrame, key_col: str = "iid"):
     Release is arrival-driven: a key's matured messages emit when the
     key next appears in a batch.  The reference's poller provides
     exactly this tick (tripwire-mail-poller polls each identity every
-    12 s); in a deployment with silent identities, union a periodic
-    rate-source tick stream keyed by iid.  A processing-time timeout
-    variant was measured to busy-loop the micro-batch engine (sub-second
-    re-arms -> continuous epochs), so the tick pattern is the supported
-    one.
+    12 s); for deployments with silent identities pass
+    ``ticks=visibility_ticks(spark, identities)`` — sentinel-payload
+    rows (umid = TICK_UMID) that drive the key's dequeue without
+    enqueuing anything.  A processing-time timeout variant was measured
+    to busy-loop the micro-batch engine (sub-second re-arms ->
+    continuous epochs), so the tick pattern is the supported one.
 
     This is the shape the engine uses for any per-key retry semantics
     Spark lacks natively — bounded state per key, Arrow in/out, no
@@ -154,6 +183,9 @@ def streaming_visibility_queue(arrivals: DataFrame, key_col: str = "iid"):
 
     import pandas as pd
 
+    if ticks is not None:
+        arrivals = arrivals.unionByName(ticks.select(*arrivals.columns))
+
     def dequeue(key, pdfs, state):
         now = datetime.datetime.now(tz=datetime.timezone.utc).replace(tzinfo=None)
         pend_umid, pend_until = ([], [])
@@ -162,6 +194,8 @@ def streaming_visibility_queue(arrivals: DataFrame, key_col: str = "iid"):
             pend_umid, pend_until = list(pend_umid), list(pend_until)
         for pdf in pdfs:
             for umid, until in zip(pdf["umid"], pdf["ignore_until"]):
+                if int(umid) < 0:
+                    continue  # tick sentinel: drive the dequeue, enqueue nothing
                 pend_umid.append(int(umid))
                 pend_until.append(until.to_pydatetime())
         ready = {i for i, t in enumerate(pend_until) if t <= now}
