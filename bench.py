@@ -69,6 +69,26 @@ def hw_concurrency_slowdown(threads_small: int, threads_large: int, n: int = 800
     return max(1.0, sigma)  # <1 is measurement noise, not a speedup
 
 
+def _stop(spark) -> None:
+    """Stop a session with its event queues DRAINED first.
+
+    Without the drain, task-completion events still queued at stop()
+    race the Python accumulator server's shutdown; the losing events
+    surface as a ``PythonAccumulatorV2.merge`` stack trace in the bench
+    output (observed in rounds 1-2, always after the window's timing
+    had already completed — log noise, but worth silencing so the
+    artifact stays a clean JSON line plus progress bars).
+    """
+    try:
+        # private-but-stable listener-bus drain (same call Spark's own
+        # test utilities use); harmless if the signature ever changes
+        spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty(10_000)
+    except Exception:
+        pass
+    spark.stop()
+    time.sleep(0.5)  # let the stopped context's last RPC packets land
+
+
 def _mk_seeds(spark, n_hosts: int):
     from pyspark.sql import functions as F
 
@@ -179,7 +199,7 @@ def main() -> None:
         t0 = time.time()
         _force(qs[name](spark, sf_dir))
         times[name] = round(time.time() - t0, 3)
-    spark.stop()
+    _stop(spark)
 
     # Frontier crawl throughput (sf0.1 -> 60k hosts, 600k ~13 KB pages).
     #
@@ -203,62 +223,72 @@ def main() -> None:
     synth_pages(
         spark_g, n_hosts=n_hosts, n_pages=10, n_links=30, n_words=1200, num_partitions=nparts
     ).write.mode("overwrite").parquet(pages_dir)
-    spark_g.stop()
+    _stop(spark_g)
 
-    spark_l = get_spark("bench-crawl-head", cores=slots_head, shuffle_partitions=nparts)
-    crawl = crawl_bench(spark_l, n_hosts=n_hosts, reps=2, pages_path=pages_dir)
-    spark_l.stop()
-    times["frontier_crawl"] = round(crawl["sec"], 3)
+    # CRAWL WINDOW PLAN — one best-of protocol for BOTH the headline
+    # number and the scaling pair.  Rules, all learned from recorded
+    # failures:
+    #
+    # 1. INTERLEAVED windows.  On a shared box, tenant noise drifts
+    #    over minutes; any side sampled in one contiguous window owns
+    #    whatever weather that window had (round 2's headline ran in
+    #    the bench's first — and loudest, loadavg 11.2 — window and
+    #    published a 34% regression the engine didn't have).  Every
+    #    side now samples 2-3 windows spread across the whole bench
+    #    timeline; min-over-windows per side is the dedicated-cluster
+    #    estimate, and per-window loadavg + every raw rep second are
+    #    published as the noise evidence.
+    # 2. 1-vs-4 slots for the scaling pair, not 2-vs-8.  The 8-slot
+    #    side (16 busy threads) collides with any tenant load; its
+    #    best-of window needs luck the 4-slot side doesn't.  Both
+    #    pairs satisfy the N->4N rule; this one is measurable here.
+    # 3. Each window is a FRESH session reading the same pre-written
+    #    pages parquet (identical bytes/splits on every side).
+    scaling_on = os.environ.get("BENCH_SCALING", "1") == "1"
+    slots_small = max(1, min(2, cores // 32))
+    slots_large = 4 * slots_small
+    if scaling_on:
+        plan = [
+            ("head", slots_head),
+            ("large", slots_large),
+            ("small", slots_small),
+            ("head", slots_head),
+            ("large", slots_large),
+            ("small", slots_small),
+            ("head", slots_head),
+            ("large", slots_large),
+        ]
+    else:
+        plan = [("head", slots_head)] * int(os.environ.get("BENCH_CRAWL_REPS", "2"))
+    obs: dict[str, list] = {"head": [], "large": [], "small": []}
+    loads = [os.getloadavg()[0]]
+    for i, (side, slots) in enumerate(plan):
+        sp = get_spark(f"bench-crawl-{side}-{i}", cores=slots, shuffle_partitions=nparts)
+        obs[side].append(crawl_bench(sp, n_hosts=n_hosts, reps=1, pages_path=pages_dir))
+        _stop(sp)
+        loads.append(os.getloadavg()[0])
 
+    urls = obs["head"][0]["urls"]
+    head_secs = [s for r in obs["head"] for s in r["rep_secs"]]
+    best_head = min(head_secs)
+    times["frontier_crawl"] = round(best_head, 3)
     out = {
         "metric": "frontier_throughput_urls_per_sec",
-        "value": round(crawl["urls_per_sec"], 2),
+        "value": round(urls / best_head, 2),
         "unit": "sec",
         "queries": times,
         "sf": sf,
-        "frontier_urls": crawl["urls"],
+        "frontier_urls": urls,
         "cores": cores,
         "crawl_slots": slots_head,
+        "headline_rep_secs": head_secs,
+        "headline_spread": round((max(head_secs) - best_head) / best_head, 3),
+        "loadavg_1m_per_window": [round(x, 2) for x in loads],
     }
 
-    if os.environ.get("BENCH_SCALING", "1") == "1":
-        # N -> 4N SCALING PAIR at 1 vs 4 slots (= 2 vs 8 physical cores
-        # with the JVM+Python pairing).  Two protocol rules, both
-        # learned from recorded failures:
-        #
-        # 1. INTERLEAVED windows.  On a shared box, tenant noise drifts
-        #    over minutes and hits the wide side hardest (more busy
-        #    threads = more collisions).  Running all wide reps first
-        #    and all narrow reps after lets one side sample a quiet
-        #    window and the other a busy one — the measured ratio then
-        #    reflects the WEATHER, not the engine.  Sides alternate, and
-        #    min-over-all-windows per side is the dedicated-cluster
-        #    estimate; per-window loadavg is recorded as evidence.
-        # 2. 1-vs-4 slots, not 2-vs-8.  The 8-slot side (16 busy
-        #    threads) collides with any tenant load; its best-of window
-        #    needs luck the 4-slot side doesn't.  Both pairs satisfy
-        #    the N->4N rule; this one is measurable on a shared box.
-        slots_small = max(1, min(2, cores // 32))
-        slots_large = 4 * slots_small
-        plan = [
-            ("large", slots_large, 1),
-            ("small", slots_small, 1),
-            ("large", slots_large, 1),
-            ("small", slots_small, 1),
-            ("large", slots_large, 1),
-        ]
-        obs: dict[str, list] = {"large": [], "small": []}
-        loads = [os.getloadavg()[0]]
-        for i, (side, slots, reps) in enumerate(plan):
-            sp = get_spark(f"bench-crawl-{side}-{i}", cores=slots, shuffle_partitions=nparts)
-            obs[side].append(
-                crawl_bench(sp, n_hosts=n_hosts, reps=reps, pages_path=pages_dir)
-            )
-            sp.stop()
-            loads.append(os.getloadavg()[0])
-        urls = crawl["urls"]
-        best_large = min(r["sec"] for r in obs["large"])
-        best_small = min(r["sec"] for r in obs["small"])
+    if scaling_on:
+        best_large = min(s for r in obs["large"] for s in r["rep_secs"])
+        best_small = min(s for r in obs["small"] for s in r["rep_secs"])
         ups_large, ups_small = urls / best_large, urls / best_small
         eff = (ups_large / ups_small) / (slots_large / slots_small)
         # Single-box confound: the low-slot side runs each core faster
@@ -268,7 +298,7 @@ def main() -> None:
         # hw_concurrency_slowdown docstring; both numbers published).
         sigma = hw_concurrency_slowdown(2 * slots_small, 2 * slots_large)
         rep_secs = {
-            side: [s for r in rs for s in r["rep_secs"]] for side, rs in obs.items()
+            side: [s for r in obs[side] for s in r["rep_secs"]] for side in ("large", "small")
         }
         out["scaling"] = {
             "slots_small": slots_small,
@@ -282,7 +312,6 @@ def main() -> None:
             "spread": {
                 side: round((max(s) - min(s)) / min(s), 3) for side, s in rep_secs.items()
             },
-            "loadavg_1m_per_window": [round(x, 2) for x in loads],
         }
 
     print(json.dumps(out))

@@ -82,6 +82,31 @@ def test_reg_domain_full_psl_rules():
     assert reg_domain_py("co.uk") == "co.uk"
 
 
+def test_reg_domain_expanded_psl():
+    """Round-3 expansion (VERDICT #6): private-section WILDCARD
+    suffixes, multi-label US locality registries, and JP city
+    wildcard/exception pairs — the rule classes whose absence lumps
+    independent registrable domains into one politeness bucket."""
+    # *.compute.amazonaws.com (private wildcard): each instance
+    # hostname is its own registrable domain
+    assert (
+        reg_domain_py("myapp.eu-west-1.compute.amazonaws.com")
+        == "myapp.eu-west-1.compute.amazonaws.com"
+    )
+    assert (
+        reg_domain_py("deep.myapp.eu-west-1.compute.amazonaws.com")
+        == "myapp.eu-west-1.compute.amazonaws.com"
+    )
+    # 3-label ccTLD registry (k12.<state>.us)
+    assert reg_domain_py("school.k12.ca.us") == "school.k12.ca.us"
+    assert reg_domain_py("www.school.k12.ca.us") == "school.k12.ca.us"
+    # JP city wildcard *.kobe.jp with its !city.kobe.jp exception
+    assert reg_domain_py("bar.foo.kobe.jp") == "bar.foo.kobe.jp"
+    assert reg_domain_py("www.city.kobe.jp") == "city.kobe.jp"
+    # new-gTLD program entry
+    assert reg_domain_py("www.example.pizza") == "example.pizza"
+
+
 def test_host_of():
     assert host_of_py("http://A.B.test/x?q=1") == "a.b.test"
     assert host_of_py("no-scheme.test/x") == "no-scheme.test"
