@@ -1238,10 +1238,40 @@ def q_clicked_text_hash(spark: SparkSession, sf: str) -> DataFrame:
     ).select("link_id", "phost", "round", "lt", "followed")
 
 
+def q_token_shard_pack(spark: SparkSession, sf: str) -> DataFrame:
+    # Training-shard packing: sequential-fill fixed-token-budget shards
+    # over the documents corpus.  The Spark side runs the two-phase
+    # distributed cumsum (operators/packing.py); the oracle is the
+    # single-window SQL restatement of the same contract — equal output
+    # proves the partition-parallel plan computes the global running sum
+    # exactly.
+    from tripwire_spark.operators.packing import pack_shards
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    return pack_shards(d, budget=2000, token_col="n_tokens", order_col="doc_id", n_buckets=16)
+
+
+def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    # Deterministic per-language sampling with a content-derived (md5)
+    # selector — reproducible across engines/runs/cluster sizes; the
+    # DuckDB twin replays the exact same keep decisions.
+    from tripwire_spark.operators.packing import stratified_sample
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang", "source", "n_chars")
+    return stratified_sample(
+        d, {"en": 0.5, "de": 0.25, "zh": 0.1}, group_col="lang", id_col="doc_id"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "recaptcha_filter": q_recaptcha_filter,
     "submit_check": q_submit_check,
     "clicked_text_hash": q_clicked_text_hash,
+    "token_shard_pack": q_token_shard_pack,
+    "stratified_sample": q_stratified_sample,
     "nested_anti_join": q_nested_anti_join,
     "select_payload": q_select_payload,
     "count_distinct": q_count_distinct,
@@ -1827,6 +1857,27 @@ ORACLES.update(
             SELECT link_id, phost, round, lt,
                    round = min(round) OVER (PARTITION BY phost, lt) AS followed
             FROM links
+        """,
+        "token_shard_pack": """
+            WITH toks AS (
+              SELECT doc_id,
+                     CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+              FROM documents),
+            offs AS (
+              SELECT doc_id, n_tokens,
+                     CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                       AS token_offset
+              FROM toks)
+            SELECT doc_id, n_tokens, token_offset,
+                   CAST(FLOOR(token_offset / 2000) AS BIGINT) AS shard
+            FROM offs
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang, source, n_chars FROM documents
+            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000
+                  < CAST((CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+                          WHEN 'zh' THEN 0.1 ELSE 0.0 END) * 10000 AS BIGINT)
         """,
         "clicked_text_memory": """
             WITH links AS (

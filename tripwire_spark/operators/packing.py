@@ -1,0 +1,113 @@
+"""Training-shard packing and deterministic stratified sampling.
+
+Two operators a 100 TB training-data pipeline needs downstream of
+dedup/quality (the reference stops at per-document scoring; these own
+the corpus -> training-run handoff):
+
+- ``pack_shards``: assign every document to a fixed-token-budget shard
+  by its offset in the running token total over a deterministic global
+  order — the standard sequential-fill sharding for pretraining data.
+- ``stratified_sample``: per-group sampling with a content-derived
+  selector (md5 of the id), so the sample is reproducible across
+  engines, runs, and cluster sizes — no RNG state, no seed plumbing,
+  and a DuckDB oracle can replay it exactly.
+
+Scale design (the interesting part of ``pack_shards``): a global
+running sum is inherently ordered, but ordering 100 TB through ONE
+window is a single-partition sort — the classic scale-killer.  The
+two-phase cumsum here keeps everything partition-parallel:
+
+1. rows get a RANGE bucket from the order key (min/max from one
+   map-side agg, broadcast as a 1-row frame — the monitor.py:90
+   pattern);
+2. the within-bucket exclusive cumsum runs as a window PER BUCKET
+   (parallel, each bucket sorts only its slice);
+3. bucket totals (one row per bucket) cumsum through a single-partition
+   window over ``n_buckets`` rows — trivially small — and broadcast-join
+   back as each bucket's prefix offset.
+
+offset = bucket_prefix + within_bucket_cumsum, shard = offset / budget.
+No all-data global sort, no driver collect; the only single-partition
+structure holds ``n_buckets`` rows.  At 1000 executors, set
+``n_buckets`` to a few x the executor count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def md5_bucket(col, buckets: int = 10_000) -> Column:
+    """Deterministic [0, buckets) selector from the md5 of a column —
+    identical in Spark (conv/substr) and ANSI-ish SQL
+    (('0x'||substr(md5(x),1,8))::bigint), so sampling decisions are
+    engine-portable.  Uses the top 32 hex-derived bits: uniform, and
+    small enough that bigint parsing agrees everywhere."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("bigint")
+    return F.pmod(h, F.lit(buckets))
+
+
+def stratified_sample(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Keep a deterministic ``fractions[group]`` share of each group.
+
+    The keep decision is a pure projection on (group, md5(id)) — no
+    shuffle, no RNG, pushdown-friendly — so the sampled corpus is
+    byte-stable across runs and cluster sizes (a training-data
+    requirement: re-running the pipeline must not silently change the
+    corpus).  Groups absent from ``fractions`` fall to
+    ``default_fraction``."""
+    frac = F.lit(default_fraction)
+    for g, f in sorted(fractions.items()):
+        frac = F.when(F.col(group_col) == g, F.lit(f)).otherwise(frac)
+    return docs.filter(md5_bucket(id_col) < (frac * 10_000).cast("bigint"))
+
+
+def pack_shards(
+    docs: DataFrame,
+    budget: int,
+    token_col: str = "n_tokens",
+    order_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Sequential-fill shard assignment: in ``order_col`` order, a
+    document whose running-total START offset falls in
+    [k*budget, (k+1)*budget) belongs to shard k.
+
+    Returns the input columns plus (token_offset, shard).  Contract:
+    ``shard = floor(exclusive_cumsum(tokens) / budget)`` — exactly the
+    single-window SQL restatement the oracle runs; the two-phase plan
+    below is the distributed evaluation of that expression (see module
+    docstring)."""
+    rng = docs.agg(
+        F.min(order_col).alias("__mn"), F.max(order_col).alias("__mx")
+    )
+    d = docs.crossJoin(F.broadcast(rng))
+    width = (F.col("__mx") - F.col("__mn")) / n_buckets + 1
+    d = d.withColumn("__bkt", F.floor((F.col(order_col) - F.col("__mn")) / width))
+
+    w_in = (
+        Window.partitionBy("__bkt")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = d.withColumn("__cum_in", F.coalesce(F.sum(token_col).over(w_in), F.lit(0)))
+
+    totals = d.groupBy("__bkt").agg(F.sum(token_col).alias("__t"))
+    w_tot = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = totals.select(
+        "__bkt", F.coalesce(F.sum("__t").over(w_tot), F.lit(0)).alias("__prefix")
+    )
+
+    out = d.join(F.broadcast(prefix), "__bkt")
+    offset = (F.col("__prefix") + F.col("__cum_in")).alias("token_offset")
+    return out.select(
+        *docs.columns, offset, F.floor((F.col("__prefix") + F.col("__cum_in")) / budget).alias("shard")
+    )
