@@ -453,6 +453,31 @@ def q_doc_quality(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_doc_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    # Gopher repetition gates: dup-line / dup-2gram / top-2gram fractions
+    from tripwire_spark.operators import textstats as TS
+
+    d = _t(spark, sf, "documents")
+    feats = TS.repetition_features(F.col("text"))
+    return d.select(
+        "doc_id",
+        feats["dup_line_frac"].alias("dup_line_frac"),
+        feats["dup_2gram_frac"].alias("dup_2gram_frac"),
+        feats["top_2gram_frac"].alias("top_2gram_frac"),
+        feats["keep"].alias("keep"),
+    )
+
+
+def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    # Benchmark decontamination: 3-gram overlap vs a broadcast eval set
+    # (eval corpus := every 50th document, so hits are guaranteed)
+    from tripwire_spark.operators.dedup import decontaminate
+
+    d = _t(spark, sf, "documents")
+    ev = d.filter(F.pmod(F.col("doc_id"), F.lit(50)) == 0)
+    return decontaminate(d, ev, "doc_id", "text", "doc_id", "text", n=3, max_overlap=0.2)
+
+
 def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     # Fingerprints: md5 of normalized text + order-sensitive rolling hash
     from tripwire_spark.operators import textstats as TS
@@ -1306,6 +1331,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_lsh": q_ann_topk_lsh,
     "lang_id": q_lang_id,
     "doc_quality": q_doc_quality,
+    "doc_repetition": q_doc_repetition,
+    "decontaminate": q_decontaminate,
     "doc_fingerprint": q_doc_fingerprint,
     "ip4_algebra": q_ip4_algebra,
     "keyword_count": q_keyword_count,
@@ -1635,6 +1662,49 @@ ORACLES.update(
             SELECT doc_id, n_tokens, round(mtl, 6) AS mean_token_len, round(sr, 6) AS stop_ratio,
                    (n_tokens >= 20 AND n_tokens <= 100000 AND mtl >= 2 AND mtl <= 12) AS keep
             FROM feat
+        """,
+        "doc_repetition": """
+            WITH lined AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, chr(10)), l -> length(trim(l)) > 0) AS ls,
+                     string_split_regex(lower(trim(text)), '\\s+') AS t
+              FROM documents),
+            feat AS (
+              SELECT doc_id,
+                     CASE WHEN len(ls) > 0
+                          THEN (len(ls) - len(list_distinct(ls))) / CAST(len(ls) AS DOUBLE)
+                          ELSE 0.0 END AS dlf,
+                     CASE WHEN len(t) >= 2
+                          THEN list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])
+                          ELSE [] END AS g
+              FROM lined),
+            feat2 AS (
+              SELECT doc_id, dlf, len(g) AS ng,
+                     CASE WHEN len(g) > 0
+                          THEN (len(g) - len(list_distinct(g))) / CAST(len(g) AS DOUBLE)
+                          ELSE 0.0 END AS d2f,
+                     CASE WHEN len(g) > 0
+                          THEN list_max(list_transform(list_distinct(g),
+                                 x -> len(list_filter(g, y -> y = x)))) / CAST(len(g) AS DOUBLE)
+                          ELSE 0.0 END AS t2f
+              FROM feat)
+            SELECT doc_id, round(dlf, 6) AS dup_line_frac, round(d2f, 6) AS dup_2gram_frac,
+                   round(t2f, 6) AS top_2gram_frac,
+                   (dlf <= 0.30 AND d2f <= 0.60 AND t2f <= 0.20) AS keep
+            FROM feat2
+        """,
+        "decontaminate": """
+            WITH toks AS (
+              SELECT doc_id AS doc, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents),
+            idx AS (SELECT doc, t, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i FROM toks),
+            sh AS (SELECT DISTINCT doc, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle FROM idx),
+            esh AS (SELECT DISTINCT shingle FROM sh WHERE doc % 50 = 0),
+            totals AS (SELECT doc, count(*) AS n_shingles FROM sh GROUP BY doc),
+            hits AS (SELECT doc, count(*) AS n_hits FROM sh JOIN esh USING (shingle) GROUP BY doc)
+            SELECT t.doc, t.n_shingles, coalesce(h.n_hits, 0) AS n_hits,
+                   round(coalesce(h.n_hits, 0) / CAST(t.n_shingles AS DOUBLE), 6) AS overlap,
+                   coalesce(h.n_hits, 0) / CAST(t.n_shingles AS DOUBLE) > 0.2 AS contaminated
+            FROM totals t LEFT JOIN hits h ON h.doc = t.doc
         """,
         "doc_fingerprint": """
             WITH toks AS (

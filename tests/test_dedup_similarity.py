@@ -121,3 +121,51 @@ def test_exact_jaccard_symmetric_threshold(spark, docs):
     rows = pairs.collect()
     assert all(r.doc_a < r.doc_b for r in rows)
     assert all(0.8 <= r.jaccard <= 1.0 for r in rows)
+
+
+def test_decontaminate_flags_eval_members_and_broadcasts(spark, docs):
+    from tripwire_spark.operators.dedup import decontaminate
+
+    ev = docs.filter(F.pmod("doc", F.lit(25)) == 0)
+    out = decontaminate(docs, ev, "doc", "text", "doc", "text", n=3, max_overlap=0.2)
+    rows = {r["doc"]: r for r in out.collect()}
+    # every eval member overlaps itself fully
+    for d, r in rows.items():
+        if d % 25 == 0 and d < 100000:
+            assert r["contaminated"] and r["overlap"] == 1.0
+    # the planted near-dups (same text + ' zzz end') must be flagged too
+    planted = [r for d, r in rows.items() if d >= 100000]
+    assert planted and all(r["contaminated"] for r in planted)
+    # scale shape: eval shingles broadcast, no shuffle of the doc side vs eval
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_repetition_features_fixtures(spark):
+    from tripwire_spark.operators.textstats import repetition_features
+
+    rows = [
+        ("clean", "alpha beta gamma delta epsilon zeta"),
+        ("looped", "spam ham spam ham spam ham spam ham"),
+        ("dup_lines", "line one\nline one\nline two\n\n"),
+        ("single", "lonely"),
+        ("empty", ""),
+    ]
+    df = spark.createDataFrame(rows, ["k", "text"])
+    feats = repetition_features(F.col("text"))
+    out = {
+        r["k"]: r
+        for r in df.select(
+            "k", *[v.alias(n) for n, v in feats.items()]
+        ).collect()
+    }
+    assert out["clean"]["dup_2gram_frac"] == 0.0 and out["clean"]["keep"]
+    # "spam ham" x4: 7 grams, 2 distinct -> dup 5/7; top "spam ham" 4/7
+    assert abs(out["looped"]["dup_2gram_frac"] - 5 / 7) < 1e-6
+    assert abs(out["looped"]["top_2gram_frac"] - 4 / 7) < 1e-6
+    assert not out["looped"]["keep"]
+    # 3 non-empty lines, one repeat -> 1/3; trailing blank line ignored
+    assert abs(out["dup_lines"]["dup_line_frac"] - 1 / 3) < 1e-6
+    # 1-token and empty docs must not crash the sequence/slice path
+    assert out["single"]["dup_2gram_frac"] == 0.0
+    assert out["empty"]["top_2gram_frac"] == 0.0

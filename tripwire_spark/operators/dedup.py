@@ -276,3 +276,57 @@ def embedding_dup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )
+
+
+# --- benchmark decontamination -------------------------------------------
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_set: DataFrame,
+    id_col: str,
+    text_col: str,
+    eval_id_col: str,
+    eval_text_col: str,
+    n: int = 3,
+    max_overlap: float = 0.2,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents whose word
+    n-gram shingle set overlaps an eval/benchmark corpus (GPT-3 app. C
+    style, expressed as a tunable overlap fraction instead of 13-gram
+    any-hit so the same operator covers both the hard-hit and the
+    fuzzy-overlap policy; any-hit = ``max_overlap=0``).
+
+    Scale shape: the eval corpus is tiny relative to the training side
+    (MBs of benchmarks vs 100 TB of web text), so its distinct shingle
+    set is **broadcast** — the training shingle stream is filtered
+    map-side with no shuffle against eval, and the only shuffles are
+    the partially-aggregated per-doc rollups, which carry (doc, count)
+    pairs, not shingles.
+
+    Returns (doc, n_shingles, n_hits, overlap, contaminated).
+    """
+    doc_sh = shingles(docs, id_col, text_col, n)
+    eval_sh = (
+        shingles(eval_set, eval_id_col, eval_text_col, n)
+        .select("shingle")
+        .distinct()
+    )
+    totals = doc_sh.groupBy("doc").agg(F.count("*").alias("n_shingles"))
+    hits = (
+        doc_sh.join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        totals.join(hits, "doc", "left")
+        .withColumn("n_hits", F.coalesce(F.col("n_hits"), F.lit(0)))
+        .withColumn(
+            "overlap", F.round(F.col("n_hits") / F.col("n_shingles"), 6)
+        )
+        .withColumn(
+            "contaminated",
+            (F.col("n_hits") / F.col("n_shingles")) > F.lit(max_overlap),
+        )
+        .select("doc", "n_shingles", "n_hits", "overlap", "contaminated")
+    )

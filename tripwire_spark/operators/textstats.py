@@ -71,6 +71,65 @@ def quality_features(text: Column) -> dict[str, Column]:
     }
 
 
+def repetition_features(text: Column) -> dict[str, Column]:
+    """Gopher-style repetition gates (Rae et al. 2021, app. A1.1),
+    word-level so the DuckDB oracle twin is exact:
+
+    - ``dup_line_frac``: fraction of non-empty lines that repeat an
+      earlier line (1 - distinct/total).
+    - ``dup_2gram_frac``: fraction of word 2-grams that are duplicates.
+    - ``top_2gram_frac``: fraction of all 2-grams claimed by the single
+      most frequent 2-gram.
+    - ``keep``: Gopher thresholds (0.30 / 0.60 / 0.20).  Deviation from
+      the paper: fractions are over word counts, not characters —
+      character-weighted fractions need a per-gram length weighting
+      that adds nothing at these thresholds.
+
+    All pure column expressions (codegen'd, no UDFs).  The per-row
+    top-gram count is O(distinct-grams x grams) inside one row — fine
+    for web documents (<=100k tokens by the quality gate), and it stays
+    a scan-side projection at 100 TB: no shuffle, no state.
+    """
+    lines = F.filter(
+        F.split(text, r"\n"), lambda l: F.length(F.trim(l)) > 0
+    )
+    n_lines = F.size(lines).cast("long")
+    dup_line_frac = F.when(
+        n_lines > 0,
+        (n_lines - F.size(F.array_distinct(lines))).cast("double") / n_lines,
+    ).otherwise(F.lit(0.0))
+
+    toks = tokens(text)
+    # sequence(1, 0) would count DOWN in Spark, so gate on >= 2 tokens
+    idx = F.when(
+        F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 2)))
+    n_grams = F.size(grams).cast("long")
+    dup_2gram_frac = F.when(
+        n_grams > 0,
+        (n_grams - F.size(F.array_distinct(grams))).cast("double") / n_grams,
+    ).otherwise(F.lit(0.0))
+    top_count = F.array_max(
+        F.transform(
+            F.array_distinct(grams),
+            lambda g: F.size(F.filter(grams, lambda x: x == g)),
+        )
+    ).cast("long")
+    top_2gram_frac = F.when(
+        n_grams > 0, top_count.cast("double") / n_grams
+    ).otherwise(F.lit(0.0))
+
+    return {
+        "dup_line_frac": F.round(dup_line_frac, 6),
+        "dup_2gram_frac": F.round(dup_2gram_frac, 6),
+        "top_2gram_frac": F.round(top_2gram_frac, 6),
+        "keep": (dup_line_frac <= 0.30)
+        & (dup_2gram_frac <= 0.60)
+        & (top_2gram_frac <= 0.20),
+    }
+
+
 def fingerprint_md5(text: Column) -> Column:
     """Content fingerprint: md5 of whitespace-normalized lowercased text."""
     return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ").cast("binary"))
