@@ -1291,8 +1291,101 @@ def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    # Connected components over a duplicate-pair edge list (the step
+    # that turns near-dup PAIRS into per-doc keep/drop verdicts).  The
+    # Spark side runs alternating large-star/small-star
+    # (operators/clustering.py — O(log n) shuffle rounds); the oracle
+    # is the recursive-CTE transitive closure of the SAME deterministic
+    # edge list.  Equal output proves the star iteration reaches the
+    # exact min-label fixpoint.
+    from tripwire_spark.operators.clustering import connected_components
+
+    e = _t(spark, sf, "events")
+    edges = e.select(
+        F.pmod(F.col("event_id"), F.lit(500)).cast("long").alias("src"),
+        F.pmod(F.col("event_id") * 7 + 3, F.lit(500)).cast("long").alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    return connected_components(edges).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
+def q_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    # C4-style repeated-line removal: globally keep the FIRST occurrence
+    # (by doc_id, position) of every distinct 12-word line, rebuild each
+    # doc from its survivors.  One shuffle on the line value; the oracle
+    # restates the same first-occurrence window in SQL.
+    from tripwire_spark.operators.dedup import dedup_lines
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    return dedup_lines(d, "doc_id", "text", words_per_line=12)
+
+
+def q_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
+    # PII scrubbing over documents with deterministically injected
+    # emails / phones / IPs (the corpus tables are word soup, so the
+    # query plants PII the same way on both engines).  Redaction is
+    # pure regexp_replace — JVM codegen, no shuffle.
+    from tripwire_spark.functions.pii import pii_counts, redact_pii
+
+    d = _t(spark, sf, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.format_string(
+                " contact user%d@example.com or 555-%03d-%04d at 10.%d.3.%d",
+                F.col("doc_id"),
+                F.pmod(F.col("doc_id"), F.lit(1000)),
+                F.pmod(F.col("doc_id") * 3, F.lit(10000)),
+                F.pmod(F.col("doc_id"), F.lit(256)),
+                F.pmod(F.col("doc_id") * 7, F.lit(256)),
+            ),
+        ).alias("text"),
+    )
+    counts = pii_counts(F.col("text"))
+    return planted.select(
+        "doc_id",
+        redact_pii(F.col("text")).alias("clean_text"),
+        counts["n_emails"].cast("long").alias("n_emails"),
+        counts["n_ips"].cast("long").alias("n_ips"),
+        counts["n_phones"].cast("long").alias("n_phones"),
+    )
+
+
+def q_url_blacklist(spark: SparkSession, sf: str) -> DataFrame:
+    # F1: the frontier's URL blacklist (deployed/url_pattern_blacklist
+    # semantics) as a standalone oracle-checked filter — one compiled
+    # single-alternation rlike per row, the same expression
+    # frontier.py:54 applies to every discovered link.
+    from tripwire_spark.sources.synth import BLACKLIST_PATTERNS
+
+    e = _t(spark, sf, "events")
+    hosts = F.array(
+        F.lit("shop"), F.lit("google"), F.lit("news"), F.lit("facebook"),
+        F.lit("blogspot"), F.lit("forum"), F.lit("youtube"), F.lit("mail"),
+    )
+    urls = e.select(
+        F.col("event_id").alias("link_id"),
+        F.format_string(
+            "http://%s%d.test/page%d",
+            F.element_at(hosts, (F.pmod(F.col("event_id"), F.lit(8)) + 1).cast("int")),
+            F.pmod(F.col("event_id"), F.lit(100)),
+            F.pmod(F.col("event_id"), F.lit(7)),
+        ).alias("url"),
+    )
+    pat = "|".join(BLACKLIST_PATTERNS)
+    return urls.filter(~F.col("url").rlike(pat)).select("link_id", "url")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "recaptcha_filter": q_recaptcha_filter,
+    "dup_clusters": q_dup_clusters,
+    "line_dedup": q_line_dedup,
+    "pii_redact": q_pii_redact,
+    "url_blacklist": q_url_blacklist,
     "submit_check": q_submit_check,
     "clicked_text_hash": q_clicked_text_hash,
     "token_shard_pack": q_token_shard_pack,
@@ -2097,6 +2190,87 @@ ORACLES.update(
                         WHEN fill_pct < 55 THEN 'below_threshold'
                         ELSE 'ok' END AS status
             FROM agg
+        """,
+    }
+)
+
+ORACLES.update(
+    {
+        # Transitive closure by recursive CTE: lbl reaches id via any
+        # path => component(id) = min(lbl).  Same deterministic edge
+        # list as the Spark side; equality pins the star-iteration
+        # fixpoint of operators/clustering.py.
+        "dup_clusters": """
+            WITH RECURSIVE
+            raw AS (
+              SELECT CAST(event_id % 500 AS BIGINT) AS src,
+                     CAST((event_id * 7 + 3) % 500 AS BIGINT) AS dst
+              FROM events),
+            edges AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+            bidir AS (SELECT src, dst FROM edges
+                      UNION SELECT dst, src FROM edges),
+            nodes AS (SELECT DISTINCT src AS id FROM bidir),
+            reach(id, lbl) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT b.dst, r.lbl FROM reach r JOIN bidir b ON b.src = r.id)
+            SELECT id AS node, MIN(lbl) AS component FROM reach GROUP BY id
+        """,
+        # First-occurrence window over 12-word lines; docs rebuilt from
+        # survivors in original order.  l[i:i+11] is 1-based inclusive
+        # = Spark's slice(toks, i, 12).
+        "line_dedup": """
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+              FROM documents),
+            lines AS (
+              SELECT doc_id,
+                     CAST(gs.i AS INTEGER) // 12 AS pos,
+                     array_to_string(l[gs.i + 1 : gs.i + 12], ' ') AS line
+              FROM toks, LATERAL (
+                SELECT unnest(range(0, CAST(greatest(len(l), 1) AS BIGINT), 12)) AS i) gs),
+            ranked AS (
+              SELECT doc_id, pos, line,
+                     row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+              FROM lines)
+            SELECT doc_id,
+                   COALESCE(string_agg(CASE WHEN rn = 1 THEN line END, ' ' ORDER BY pos),
+                            '') AS clean_text,
+                   count(*) AS n_lines,
+                   CAST(count(CASE WHEN rn = 1 THEN 1 END) AS BIGINT) AS n_kept
+            FROM ranked GROUP BY doc_id
+        """,
+        "pii_redact": """
+            WITH planted AS (
+              SELECT doc_id,
+                     text || printf(' contact user%d@example.com or 555-%03d-%04d at 10.%d.3.%d',
+                                    doc_id, doc_id % 1000, (doc_id * 3) % 10000,
+                                    doc_id % 256, (doc_id * 7) % 256) AS text
+              FROM documents)
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+                       '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b', '<PHONE>', 'g') AS clean_text,
+                   CAST(len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(text,
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ips,
+                   CAST(len(regexp_extract_all(text,
+                       '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b')) AS BIGINT) AS n_phones
+            FROM planted
+        """,
+        "url_blacklist": """
+            WITH urls AS (
+              SELECT event_id AS link_id,
+                     printf('http://%s%d.test/page%d',
+                            (['shop','google','news','facebook','blogspot',
+                              'forum','youtube','mail'])[(event_id % 8) + 1],
+                            event_id % 100, event_id % 7) AS url
+              FROM events)
+            SELECT link_id, url FROM urls
+            WHERE NOT regexp_matches(url,
+              'google|microsoft|apple|facebook|yahoo|tumblr|blogspot|blogger|youtube|gmail')
         """,
     }
 )

@@ -330,3 +330,66 @@ def decontaminate(
         )
         .select("doc", "n_shingles", "n_hits", "overlap", "contaminated")
     )
+
+
+# --- repeated-line (paragraph) dedup --------------------------------------
+
+
+def dedup_lines(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    words_per_line: int = 12,
+    sep: str = r"\s+",
+) -> DataFrame:
+    """C4-style repeated-paragraph removal: keep only the globally FIRST
+    occurrence of every distinct line, rebuild each document from its
+    surviving lines in original order.
+
+    C4 (Raffel et al. 2020, app. 2.2) dropped every non-first occurrence
+    of any three-sentence span corpus-wide; this is the line-granular
+    version.  "Line" is a run of ``words_per_line`` tokens (the corpus
+    tables carry no newlines; real crawl text would pass
+    ``words_per_line=None``-style pre-split lines instead — the dedup
+    core below is identical either way).
+
+    Scale shape: ONE shuffle on the line hash (the window partitions by
+    the line value; bodies travel once, as their own lines), first
+    occurrence picked by the deterministic total order (doc id, line
+    position), then one partial-agg rollup back to doc granularity.
+    Nothing is quadratic and no state accumulates: this is the
+    streaming-friendly restatement of C4's "global hash set" that a
+    1000-executor corpus pass can actually run.
+
+    Returns (doc_id, clean_text, n_lines, n_kept).
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.trim(F.col(text_col)), sep)
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(words_per_line))
+    lines_arr = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, words_per_line)))
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(lines_arr).alias("pos", "line"),
+    )
+    w = Window.partitionBy("line").orderBy("doc_id", "pos")
+    ranked = lines.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("rn") == 1, F.struct("pos", "line"))
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count("*").alias("n_lines"),
+            F.count(F.when(F.col("rn") == 1, 1)).alias("n_kept"),
+        )
+        .select("doc_id", "clean_text", "n_lines", "n_kept")
+    )
