@@ -428,6 +428,18 @@ def q_ann_topk_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return signlsh_topk(e, q, k=3)
 
 
+def q_ann_topk_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    # IVF ANN: trained coarse quantizer (deterministic k-means), probe
+    # the query's nearest cells only (recall checked in pytest vs the
+    # brute baseline; rows-only here by the same declared design as
+    # ann_topk_lsh — the quantizer is not SQL-expressible)
+    from tripwire_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.pmod(F.col("vec_id"), F.lit(100)) == 0)
+    return ivf_topk(e, q, k=3, n_centroids=16, n_probe=6)
+
+
 def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     # Language ID: stopword-hit argmax (deterministic tie-break)
     from tripwire_spark.operators import textstats as TS
@@ -1422,6 +1434,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "ann_topk_brute": q_ann_topk_brute,
     "ann_topk_lsh": q_ann_topk_lsh,
+    "ann_topk_ivf": q_ann_topk_ivf,
     "lang_id": q_lang_id,
     "doc_quality": q_doc_quality,
     "doc_repetition": q_doc_repetition,

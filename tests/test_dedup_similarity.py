@@ -169,3 +169,17 @@ def test_repetition_features_fixtures(spark):
     # 1-token and empty docs must not crash the sequence/slice path
     assert out["single"]["dup_2gram_frac"] == 0.0
     assert out["empty"]["top_2gram_frac"] == 0.0
+
+
+def test_ann_ivf_recall(spark):
+    from tripwire_spark.operators.similarity import brute_topk, ivf_topk
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = e.filter(F.pmod(F.col("vec_id"), F.lit(40)) == 0)
+    brute = {(r.qid, r.cid) for r in brute_topk(e, q, k=3).collect()}
+    ivf = {(r.qid, r.cid) for r in ivf_topk(e, q, k=3, n_centroids=16, n_probe=6).collect()}
+    # probing 6/16 cells must recover most exact neighbors
+    assert len(ivf & brute) / len(brute) >= 0.7
+    # determinism: the trained quantizer is content-derived, not RNG
+    ivf2 = {(r.qid, r.cid) for r in ivf_topk(e, q, k=3, n_centroids=16, n_probe=6).collect()}
+    assert ivf == ivf2

@@ -118,3 +118,137 @@ def signlsh_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "cid", F.round("cos", 6).alias("cos"), "rank")
     )
+
+
+# --- IVF (inverted-file) ANN ----------------------------------------------
+
+
+def _nearest_cells(centroids, n_probe: int = 1):
+    """Pandas UDF: top-``n_probe`` nearest centroid ids per vector by
+    cosine — ONE BLAS matmul per Arrow batch, no per-row Python.
+
+    ``centroids`` is a (k x dim) numpy array captured in the closure;
+    at any real scale it is a few KB–MB, i.e. broadcast-sized by
+    construction (k ~ sqrt(corpus), dim <= a few thousand).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cn = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+
+    def _cells(vecs):
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        m = np.vstack(vecs.to_numpy())
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ cn.T  # (n, k)
+        p = min(n_probe, sims.shape[1])
+        top = np.argpartition(-sims, p - 1, axis=1)[:, :p]
+        # stable probe order: by similarity desc, then cell id
+        order = np.argsort(-np.take_along_axis(sims, top, 1), axis=1, kind="stable")
+        return pd.Series(list(np.take_along_axis(top, order, 1).astype("int64")))
+
+    return F.pandas_udf(_cells, T.ArrayType(T.LongType()))
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    iters: int = 5,
+    sample_mod: int = 1,
+):
+    """Deterministic Lloyd's k-means for the IVF coarse quantizer.
+
+    Init: the ``n_centroids`` sample vectors with the smallest
+    md5(id) — content-derived, so identical across runs, partitionings,
+    and cluster sizes (same policy as packing.stratified_sample).
+    Iterate: assign (pandas-UDF matmul, map-only) -> per-cell mean
+    (posexplode + partial-agg groupBy — the only shuffle, carrying
+    (cell, pos, val) triples of the SAMPLE, not the corpus) -> collect
+    k x dim to the driver for the next closure.  Training runs on a
+    deterministic 1/``sample_mod`` sample; k-means quality needs a
+    sample, never the 100 TB corpus.
+
+    Returns a (k x dim) numpy array.
+    """
+    import numpy as np
+
+    s = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+    if sample_mod > 1:
+        s = s.filter(
+            F.pmod(F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8), 16, 10).cast("long"),
+                   F.lit(sample_mod)) == 0
+        )
+    s = s.persist()
+    init = (
+        s.withColumn("h", F.md5(F.col("id").cast("string")))
+        .orderBy("h").limit(n_centroids).select("v").collect()
+    )
+    cents = np.array([r.v for r in init])
+    for _ in range(iters):
+        cell = _nearest_cells(cents, 1)
+        assigned = s.select(F.element_at(cell(F.col("v")), 1).alias("c"), "v")
+        means = (
+            assigned.select("c", F.posexplode("v").alias("pos", "val"))
+            .groupBy("c", "pos").agg(F.avg("val").alias("m"))
+            .groupBy("c")
+            .agg(F.transform(F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                             lambda x: x["m"]).alias("cent"))
+            .collect()
+        )
+        nxt = cents.copy()  # empty cells keep their old centroid
+        for r in means:
+            nxt[r.c] = np.array(r.cent)
+        cents = nxt
+    s.unpersist()
+    return cents
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    iters: int = 5,
+    sample_mod: int = 1,
+) -> DataFrame:
+    """IVF ANN: coarse-quantize the corpus into ``n_centroids`` cells
+    (trained k-means), probe each query's ``n_probe`` nearest cells,
+    exact cosine re-rank inside the probed cells only.
+
+    Scale shape: corpus assignment is map-only (one matmul UDF per
+    batch; in a real deployment the cell id is written once as a
+    partition column and reused); the probe join broadcasts the query
+    side; candidate volume is corpus * n_probe / n_centroids — the
+    tunable recall/cost dial IVF exists for.  Complements signlsh_topk:
+    LSH needs no training pass, IVF adapts to the data distribution.
+    """
+    cents = kmeans_centroids(corpus, id_col, vec_col, n_centroids, iters, sample_mod)
+    c = corpus.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+    ).withColumn("cell", F.element_at(_nearest_cells(cents, 1)(F.col("cvec")), 1))
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).cast("array<double>").alias("qvec"),
+        F.explode(_nearest_cells(cents, n_probe)(F.col(vec_col).cast("array<double>"))).alias("cell"),
+    )
+    cands = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("cid") != F.col("qid"))
+        .select("qid", "qvec", "cid", "cvec")
+        .distinct()
+    )
+    scored = cands.withColumn("cos", F.round(cosine(F.col("qvec"), F.col("cvec")), 9))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "cid", F.round("cos", 6).alias("cos"), "rank")
+    )
