@@ -1303,6 +1303,69 @@ def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_seen_admit(spark: SparkSession, sf: str) -> DataFrame:
+    # F2/D7 as the crawl actually runs them: SeenState.init on a round-1
+    # url set, then SeenState.admit of a candidate batch with in-batch
+    # repeats — the REAL bucketed delta-segment numpy path (seen.py),
+    # not a SQL restatement on the Spark side.  The oracle restates
+    # admit-then-dedup on the url STRING (anti-join vs round 1 + first
+    # occurrence by ord within the batch); equality pins both the
+    # membership semantics and the xxhash64 collision-tolerance
+    # contract of the 64-bit hash key.
+    from tripwire_spark.operators.seen import SeenState
+
+    e = _t(spark, sf, "events")
+    url = F.format_string(
+        "http://site%02d.test/p%d",
+        F.pmod(F.col("user_id"), F.lit(50)),
+        F.pmod(F.col("event_id"), F.lit(20)),
+    )
+    r1 = (
+        e.filter(F.pmod(F.col("event_id"), F.lit(4)) == 0)
+        .select(url.alias("url"))
+        .select(F.xxhash64("url").alias("url_hash"))
+    )
+    svc = SeenState(n_buckets=16)
+    state = svc.init(r1, "url_hash")
+    cand = e.select(
+        F.col("event_id").alias("ord"),
+        url.alias("url"),
+    ).withColumn("url_hash", F.xxhash64("url"))
+    admitted = svc.admit(cand, state, "url_hash", order_cols=["ord"])
+    fresh, _delta = SeenState.split(admitted, ["ord", "url", "url_hash"])
+    return fresh.select("ord", "url")
+
+
+def q_domain_intern(spark: SparkSession, sf: str) -> DataFrame:
+    # D4: domain interning (insert-if-absent, ref
+    # runners/common_queries.py:272-287) — first occurrence per domain
+    # by arrival order, ids assigned in insertion order (dense,
+    # deterministic); same window shape as frontier.py:74-75.
+    e = _t(spark, sf, "events")
+    d = e.select(
+        F.col("event_id").alias("ord"),
+        F.format_string("site%02d.test", F.pmod(F.col("user_id"), F.lit(37))).alias("domain"),
+    )
+    first = d.groupBy("domain").agg(F.min("ord").alias("first_ord"))
+    w = Window.orderBy("first_ord")
+    return first.select(
+        F.row_number().over(w).cast("long").alias("domain_id"), "domain", "first_ord"
+    )
+
+
+def q_link_length_filter(spark: SparkSession, sf: str) -> DataFrame:
+    # F12: link-text length gate 1..30 (html.py:284 — pagefinder skips
+    # empty anchors and >30-char texts before scoring).
+    e = _t(spark, sf, "events")
+    alpha = F.lit("abcdefghijklmnopqrstuvwxyz0123456789____")
+    txt = F.substring(alpha, 1, F.pmod(F.col("event_id"), F.lit(40)).cast("int"))
+    return (
+        e.select(F.col("event_id").alias("link_id"), txt.alias("text"))
+        .filter(F.length("text").between(1, 30))
+        .select("link_id", "text", F.length("text").cast("long").alias("text_len"))
+    )
+
+
 def q_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     # Connected components over a duplicate-pair edge list (the step
     # that turns near-dup PAIRS into per-doc keep/drop verdicts).  The
@@ -1394,6 +1457,9 @@ def q_url_blacklist(spark: SparkSession, sf: str) -> DataFrame:
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "recaptcha_filter": q_recaptcha_filter,
+    "seen_admit": q_seen_admit,
+    "domain_intern": q_domain_intern,
+    "link_length_filter": q_link_length_filter,
     "dup_clusters": q_dup_clusters,
     "line_dedup": q_line_dedup,
     "pii_redact": q_pii_redact,
@@ -2209,6 +2275,43 @@ ORACLES.update(
 
 ORACLES.update(
     {
+        "seen_admit": """
+            WITH r1 AS (
+              SELECT DISTINCT printf('http://site%02d.test/p%d',
+                                     user_id % 50, event_id % 20) AS url
+              FROM events WHERE event_id % 4 = 0),
+            c2 AS (
+              SELECT event_id AS ord,
+                     printf('http://site%02d.test/p%d',
+                            user_id % 50, event_id % 20) AS url
+              FROM events),
+            firsts AS (
+              SELECT ord, url,
+                     row_number() OVER (PARTITION BY url ORDER BY ord) AS rn
+              FROM c2)
+            SELECT ord, url FROM firsts
+            WHERE rn = 1 AND url NOT IN (SELECT url FROM r1)
+        """,
+        "domain_intern": """
+            WITH d AS (
+              SELECT event_id AS ord,
+                     printf('site%02d.test', user_id % 37) AS domain
+              FROM events),
+            first AS (
+              SELECT domain, min(ord) AS first_ord FROM d GROUP BY domain)
+            SELECT row_number() OVER (ORDER BY first_ord) AS domain_id,
+                   domain, first_ord
+            FROM first
+        """,
+        "link_length_filter": """
+            WITH t AS (
+              SELECT event_id AS link_id,
+                     substr('abcdefghijklmnopqrstuvwxyz0123456789____',
+                            1, event_id % 40) AS text
+              FROM events)
+            SELECT link_id, text, CAST(length(text) AS BIGINT) AS text_len
+            FROM t WHERE length(text) BETWEEN 1 AND 30
+        """,
         # Transitive closure by recursive CTE: lbl reaches id via any
         # path => component(id) = min(lbl).  Same deterministic edge
         # list as the Spark side; equality pins the star-iteration
