@@ -1455,7 +1455,72 @@ def q_url_blacklist(spark: SparkSession, sf: str) -> DataFrame:
     return urls.filter(~F.col("url").rlike(pat)).select("link_id", "url")
 
 
+def _synth_robots_bodies(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic robots.txt bodies from supplier: a Googlebot-only
+    group (never applies), a '*'+OtherBot group with trailing comment /
+    uppercase key / empty-Disallow edge cases (k%4!=0), and a literal
+    TripwireBot group (k%3==0) that must shadow the star group."""
+    s = _t(spark, sf, "supplier")
+    k = F.col("s_suppkey")
+    group_a = F.lit(
+        "User-Agent: Googlebot\nDisallow: /google-only\nCrawl-delay: 9\n\n"
+    )
+    group_b = F.when(
+        F.pmod(k, F.lit(4)) != 0,
+        F.concat(
+            F.lit("User-agent: *\nUser-agent: OtherBot\nCrawl-delay: "),
+            (F.pmod(k, F.lit(5)) + 1),
+            F.lit("\nDisallow: /cgi-bin # legacy\nDISALLOW: /p"),
+            F.pmod(k, F.lit(7)),
+            F.lit("\n\nAllow: /public\nDisallow:\n\n"),
+        ),
+    ).otherwise(F.lit(""))
+    group_c = F.when(
+        F.pmod(k, F.lit(3)) == 0,
+        F.concat(
+            F.lit("User-agent: TripwireBot\nDisallow: /tw"),
+            F.pmod(k, F.lit(5)),
+            F.lit("\nCrawl-delay: 7\n"),
+        ),
+    ).otherwise(F.lit(""))
+    body = F.concat(F.lit("# robots for site"), k, F.lit("\n\n"), group_a, group_b, group_c)
+    return s.select(F.concat(F.lit("site"), k, F.lit(".test")).alias("host"), body.alias("body"))
+
+
+def q_robots_parse(spark: SparkSession, sf: str) -> DataFrame:
+    # robots.txt -> politeness dimension table (RFC 9309 grouping +
+    # most-specific-group precedence; north-rule robots support).  The
+    # oracle is an independent closed-form derivation of the same
+    # synthetic corpus, so every parsing rule (case-insensitive keys,
+    # trailing comments, blank lines inside a group, empty Disallow,
+    # named-group-shadows-star) is pinned end to end.
+    from tripwire_spark.functions.robots import parse_robots
+
+    return parse_robots(_synth_robots_bodies(spark, sf), agent="TripwireBot")
+
+
+def q_sitemap_urls(spark: SparkSession, sf: str) -> DataFrame:
+    # sitemap.xml <loc> extraction -> frontier seed rows (S1 analog for
+    # crawl-discovered sitemaps): regexp_extract_all + explode, with
+    # whitespace-padded and empty <loc> edge cases.
+    from tripwire_spark.functions.robots import sitemap_locs
+
+    o = _t(spark, sf, "orders").filter(F.pmod(F.col("o_orderkey"), F.lit(20)) == 0)
+    c, k = F.col("o_custkey"), F.col("o_orderkey")
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?><urlset><url><loc>https://site'),
+        c, F.lit(".test/a"), k,
+        F.lit("</loc></url><url><loc>  https://site"),
+        c, F.lit(".test/b"), F.pmod(k, F.lit(5)),
+        F.lit("  </loc></url><url><loc></loc></url></urlset>"),
+    )
+    sitemaps = o.select(F.concat(F.lit("site"), c, F.lit(".test")).alias("host"), xml.alias("body"))
+    return sitemap_locs(sitemaps)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "robots_parse": q_robots_parse,
+    "sitemap_urls": q_sitemap_urls,
     "recaptcha_filter": q_recaptcha_filter,
     "seen_admit": q_seen_admit,
     "domain_intern": q_domain_intern,
@@ -1544,6 +1609,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 ORACLES: dict[str, str] = {
+    # closed-form independent derivation of the synthetic robots corpus
+    # (_synth_robots_bodies): TripwireBot group shadows '*' (k%3==0);
+    # otherwise the star group applies when present (k%4!=0); else
+    # nothing applies.  Pins every parse rule end to end.
+    "robots_parse": """
+        SELECT 'site' || s_suppkey || '.test' AS host,
+               CASE WHEN s_suppkey % 3 = 0
+                      THEN ['/tw' || (s_suppkey % 5)]
+                    WHEN s_suppkey % 4 <> 0
+                      THEN ['/cgi-bin', '/p' || (s_suppkey % 7)]
+                    ELSE CAST([] AS VARCHAR[]) END AS disallow_prefixes,
+               CASE WHEN s_suppkey % 3 = 0 THEN 7.0
+                    WHEN s_suppkey % 4 <> 0 THEN CAST(1 + s_suppkey % 5 AS DOUBLE)
+                    ELSE NULL END AS crawl_delay
+        FROM supplier
+    """,
+    "sitemap_urls": """
+        SELECT 'site' || o_custkey || '.test' AS host,
+               'https://site' || o_custkey || '.test/a' || o_orderkey AS url
+        FROM orders WHERE o_orderkey % 20 = 0
+        UNION ALL
+        SELECT 'site' || o_custkey || '.test' AS host,
+               'https://site' || o_custkey || '.test/b' || (o_orderkey % 5) AS url
+        FROM orders WHERE o_orderkey % 20 = 0
+    """,
     "claim_filter": """
         SELECT o_orderkey, o_custkey, o_totalprice
         FROM orders WHERE o_orderstatus = 'O' AND o_totalprice < 50000

@@ -1,0 +1,118 @@
+"""robots.txt parsing (RFC 9309 grouping + most-specific-group
+precedence), Crawl-delay -> politeness budget mapping, and sitemap
+<loc> extraction feeding the frontier."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tripwire_spark.functions.robots import parse_robots, robots_budget, sitemap_locs
+
+BODY_STAR = """\
+# prologue comment
+
+User-Agent: Googlebot
+Disallow: /google-only
+Crawl-delay: 9
+
+User-agent: *
+User-agent: OtherBot
+Crawl-delay: 4
+Disallow: /cgi-bin # legacy
+DISALLOW: /private
+
+Allow: /public
+Disallow:
+"""
+
+BODY_NAMED = BODY_STAR + """
+User-agent: TripwireBot
+Disallow: /tw
+Crawl-delay: 7
+"""
+
+BODY_EMPTY = "# nothing to see\n\nSitemap: https://h.test/sitemap.xml\n"
+
+
+def _parse_one(spark, body, agent="*"):
+    df = spark.createDataFrame([("h.test", body)], "host string, body string")
+    return parse_robots(df, agent=agent).collect()[0]
+
+
+def test_star_group_rules(spark):
+    row = _parse_one(spark, BODY_STAR)
+    # case-insensitive keys, trailing comment stripped, the blank line
+    # inside the group does NOT end it, empty Disallow contributes
+    # nothing, the Googlebot group is ignored for '*'
+    assert row.disallow_prefixes == ["/cgi-bin", "/private"]
+    assert row.crawl_delay == 4.0
+
+
+def test_named_group_wins_over_star(spark):
+    row = _parse_one(spark, BODY_NAMED, agent="TripwireBot")
+    assert row.disallow_prefixes == ["/tw"]
+    assert row.crawl_delay == 7.0
+
+
+def test_named_agent_falls_back_to_star(spark):
+    row = _parse_one(spark, BODY_STAR, agent="TripwireBot")
+    assert row.disallow_prefixes == ["/cgi-bin", "/private"]
+    assert row.crawl_delay == 4.0
+
+
+def test_no_applying_group(spark):
+    row = _parse_one(spark, BODY_EMPTY)
+    assert row.disallow_prefixes == []
+    assert row.crawl_delay is None
+
+
+def test_budget_mapping(spark):
+    df = spark.createDataFrame(
+        [(4.0,), (None,), (1000.0,)], "crawl_delay double"
+    ).select(robots_budget(F.col("crawl_delay"), default_budget=8, round_seconds=60).alias("b"))
+    assert [r.b for r in df.collect()] == [15, 8, 1]
+
+
+def test_parsed_robots_feed_politeness_schedule(spark):
+    """parse_robots -> robots_budget -> politeness_schedule end-to-end:
+    the disallowed URL is disabled, and Crawl-delay caps the round."""
+    from tripwire_spark.operators.frontier import build_frontier, politeness_schedule
+
+    seeds = spark.createDataFrame(
+        [
+            (1, "http://h.test/cgi-bin/x", 0),
+            (1, "http://h.test/ok1", 1),
+            (1, "http://h.test/ok2", 2),
+            (1, "http://h.test/ok3", 3),
+        ],
+        "alexa int, url string, file_order long",
+    )
+    frontier = build_frontier(seeds, [r"\.forbidden\."])
+    raw = spark.createDataFrame([("h.test", BODY_STAR)], "host string, body string")
+    robots = parse_robots(raw).select(
+        "host",
+        "disallow_prefixes",
+        # an 8-second round at Crawl-delay 4 admits 2 fetches
+        robots_budget(F.col("crawl_delay"), default_budget=10, round_seconds=8).alias(
+            "crawl_budget"
+        ),
+    )
+    claimed, disabled = politeness_schedule(frontier, robots, default_budget=10)
+    assert [r.url for r in disabled.collect()] == ["http://h.test/cgi-bin/x"]
+    got = sorted(r.url for r in claimed.collect())
+    assert got == ["http://h.test/ok1", "http://h.test/ok2"]  # FIFO under budget 2
+
+
+def test_sitemap_locs(spark):
+    xml = (
+        '<?xml version="1.0"?><urlset>'
+        "<url><loc>https://h.test/a</loc></url>"
+        "<url><loc>  https://h.test/b  </loc></url>"
+        "<url><loc></loc></url></urlset>"
+    )
+    df = spark.createDataFrame([("h.test", xml)], "host string, body string")
+    rows = sitemap_locs(df).orderBy("url").collect()
+    assert [(r.host, r.url) for r in rows] == [
+        ("h.test", "https://h.test/a"),
+        ("h.test", "https://h.test/b"),
+    ]

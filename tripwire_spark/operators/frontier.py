@@ -57,7 +57,14 @@ def claim_order():
 
 
 def blacklist_regex(patterns: list[str]) -> str:
-    """Single alternation — one Catalyst-pushable rlike (F1)."""
+    """Single alternation — one Catalyst-pushable rlike (F1).
+
+    An empty pattern list must block NOTHING: ``()`` would match every
+    URL and silently empty the frontier, so emit a never-matching
+    alternation instead.
+    """
+    if not patterns:
+        return r"(?!)"  # negative lookahead of nothing: matches no string
     return "(?i)(" + "|".join(patterns) + ")"
 
 
