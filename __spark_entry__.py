@@ -1455,6 +1455,36 @@ def q_url_blacklist(spark: SparkSession, sf: str) -> DataFrame:
     return urls.filter(~F.col("url").rlike(pat)).select("link_id", "url")
 
 
+def q_warc_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    # WARC -> pages-table ingestion (BASELINE input_hint: Common-Crawl
+    # -style archives).  Each supplier key becomes a one-record
+    # .warc.gz built ON THE EXECUTORS with the fixture writer (the same
+    # framing Common Crawl uses: one gzip member per record, HTTP
+    # response payload); parse_warc must recover url/timestamp/body
+    # byte-exactly, pinned by a closed-form oracle.
+    import pandas as pd
+
+    from tripwire_spark.sources.warc import parse_warc, write_warc
+
+    s = _t(spark, sf, "supplier").select("s_suppkey")
+
+    def mk(batches):
+        for pdf in batches:
+            rows = []
+            for k in pdf["s_suppkey"]:
+                k = int(k)
+                url = f"http://site{k}.test/w{k % 7}"
+                ts = f"2026-08-{10 + k % 17:02d}T01:02:{k % 60:02d}Z"
+                body = f"<html><body>warc {k}</body></html>".encode()
+                rows.append((f"mem://{k}.warc.gz", write_warc([(url, ts, body)])))
+            yield pd.DataFrame(rows, columns=["path", "content"])
+
+    files = s.mapInPandas(mk, "path string, content binary")
+    return parse_warc(files).select(
+        "url", "warc_ts", F.col("html").cast("string").alias("html_text")
+    )
+
+
 def _synth_robots_bodies(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic robots.txt bodies from supplier: a Googlebot-only
     group (never applies), a '*'+OtherBot group with trailing comment /
@@ -1519,6 +1549,7 @@ def q_sitemap_urls(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "warc_ingest": q_warc_ingest,
     "robots_parse": q_robots_parse,
     "sitemap_urls": q_sitemap_urls,
     "recaptcha_filter": q_recaptcha_filter,
@@ -1609,6 +1640,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 ORACLES: dict[str, str] = {
+    # closed-form reconstruction of the synthetic WARC corpus built by
+    # q_warc_ingest: url/date/body are pure functions of s_suppkey, so
+    # a parser that drops, duplicates, or byte-shifts any record fails
+    "warc_ingest": """
+        SELECT 'http://site' || s_suppkey || '.test/w' || (s_suppkey % 7) AS url,
+               CAST('2026-08-' || lpad(CAST(10 + s_suppkey % 17 AS VARCHAR), 2, '0')
+                    || ' 01:02:' || lpad(CAST(s_suppkey % 60 AS VARCHAR), 2, '0')
+                    AS TIMESTAMP) AS warc_ts,
+               '<html><body>warc ' || s_suppkey || '</body></html>' AS html_text
+        FROM supplier
+    """,
     # closed-form independent derivation of the synthetic robots corpus
     # (_synth_robots_bodies): TripwireBot group shadows '*' (k%3==0);
     # otherwise the star group applies when present (k%4!=0); else

@@ -79,6 +79,31 @@ def test_manifest_swap_is_atomic(spark, tmp_path):
     assert stray == []
 
 
+def test_per_partition_lineage_stats(spark, tmp_path):
+    """Every commit records Iceberg-manifest-style per-file stats (one
+    parquet file per Spark output partition): appends stat only ADDED
+    files, totals reconcile with read(), and lineage() exposes it all as
+    a queryable frame keyed by snapshot."""
+    from tripwire_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path), "log")
+    t.commit(_df(spark, 0, 100).repartition(4), {"round": 1})
+    t.commit_append(_df(spark, 100, 150).repartition(2), {"round": 2})
+    s1, s2 = t.snapshots()
+    assert len(s1["files"]) == 4 and s1["added_rows"] == 100
+    assert len(s2["files"]) == 2 and s2["added_rows"] == 50
+    assert all(f["bytes"] > 0 for f in s2["files"])
+    # added_rows across lineage == rows visible at the head snapshot
+    assert sum(s["added_rows"] for s in t.snapshots()) == t.read().count()
+    lin = t.lineage()
+    assert lin.count() == 6
+    per_snap = {
+        r["snapshot_id"]: r["rows"]
+        for r in lin.groupBy("snapshot_id").agg(F.sum("rows").alias("rows")).collect()
+    }
+    assert per_snap == {1: 100, 2: 50}
+
+
 def test_iceberg_probe_and_factory(spark, tmp_path):
     """Without the Iceberg runtime on the classpath the factory returns
     the Parquet stand-in; with it, the delegating subclass (skip-guarded:
@@ -104,3 +129,4 @@ def test_iceberg_probe_and_factory(spark, tmp_path):
     t.commit_append(_df(spark, 10, 15), {"round": 2})
     assert t.read().count() == 15
     assert t.read(1).count() == 10
+    assert t.lineage().groupBy().sum("rows").collect()[0][0] == 15

@@ -71,6 +71,29 @@ class SnapshotTable:
     def _new_data_dir(self, sid: int) -> str:
         return os.path.join(self.dir, f"snap-{sid:06d}-{uuid.uuid4().hex[:8]}")
 
+    @staticmethod
+    def _file_stats(data_dir: str) -> list[dict]:
+        """Per-file lineage stats for one snapshot data dir — the
+        Iceberg-manifest analog (each parquet file is one Spark output
+        partition).  Reads only parquet FOOTERS (driver-side metadata,
+        O(#files), no data scan), exactly what Iceberg's manifest writer
+        records per data file at commit time."""
+        import pyarrow.parquet as pq
+
+        out = []
+        for fn in sorted(os.listdir(data_dir)):
+            if not fn.endswith(".parquet"):
+                continue
+            p = os.path.join(data_dir, fn)
+            out.append(
+                {
+                    "file": fn,
+                    "rows": pq.ParquetFile(p).metadata.num_rows,
+                    "bytes": os.path.getsize(p),
+                }
+            )
+        return out
+
     def commit(self, df: DataFrame, summary: dict | None = None) -> int:
         """Write ``df`` as a new FULL immutable snapshot (table rewrite);
         atomic manifest swap."""
@@ -79,6 +102,7 @@ class SnapshotTable:
         sid = (parent or 0) + 1
         data_dir = self._new_data_dir(sid)
         df.write.mode("overwrite").parquet(data_dir)
+        files = self._file_stats(data_dir)
         man["snapshots"].append(
             {
                 "id": sid,
@@ -87,6 +111,9 @@ class SnapshotTable:
                 "op": "overwrite",
                 "ts": time.time(),
                 "summary": summary or {},
+                "files": files,
+                "added_rows": sum(f["rows"] for f in files),
+                "added_bytes": sum(f["bytes"] for f in files),
             }
         )
         self._write_manifest(man)
@@ -105,6 +132,7 @@ class SnapshotTable:
         sid = parent["id"] + 1
         data_dir = self._new_data_dir(sid)
         delta.write.mode("overwrite").parquet(data_dir)
+        files = self._file_stats(data_dir)
         man["snapshots"].append(
             {
                 "id": sid,
@@ -113,6 +141,11 @@ class SnapshotTable:
                 "op": "append",
                 "ts": time.time(),
                 "summary": summary or {},
+                # lineage stats cover only the ADDED files — O(delta)
+                # footer reads per fast-append, like an Iceberg manifest
+                "files": files,
+                "added_rows": sum(f["rows"] for f in files),
+                "added_bytes": sum(f["bytes"] for f in files),
             }
         )
         self._write_manifest(man)
@@ -127,6 +160,30 @@ class SnapshotTable:
         else:
             snap = next(s for s in snaps if s["id"] == snapshot_id)
         return self.spark.read.parquet(*self._paths(snap))
+
+    def lineage(self) -> DataFrame:
+        """Per-partition lineage as a queryable DataFrame: one row per
+        (snapshot, data file) with the file's row count and byte size —
+        what `SELECT * FROM t.files` gives you on real Iceberg.  Built
+        from the manifest (driver-side, no data scan), so fetch/dedup
+        metrics per round AND per output partition are one filter away:
+
+            table.lineage().filter("snapshot_id = 3").agg(sum("rows"))
+        """
+        rows = [
+            (
+                int(s["id"]),
+                s["op"],
+                f["file"],
+                int(f["rows"]),
+                int(f["bytes"]),
+            )
+            for s in self.snapshots()
+            for f in s.get("files", [])
+        ]
+        return self.spark.createDataFrame(
+            rows, "snapshot_id int, op string, file string, rows bigint, bytes bigint"
+        )
 
     def rollback(self, snapshot_id: int) -> None:
         """Drop snapshots newer than ``snapshot_id`` (resume-after-kill).
@@ -247,6 +304,29 @@ class IcebergSnapshotTable(SnapshotTable):
         return (
             self.spark.read.option("snapshot-id", snap["iceberg_snapshot_id"])
             .table(self.identifier)
+        )
+
+    def lineage(self) -> DataFrame:
+        """Per-file lineage straight from Iceberg's own metadata: the
+        ``.entries`` table records, per manifest entry, the committing
+        snapshot and the data file's row count / byte size (status 1 =
+        ADDED, matching the stand-in's added-files semantics).  Joined to
+        our ledger ids via the Iceberg snapshot id."""
+        ledger = self.spark.createDataFrame(
+            [
+                (int(s["id"]), s["op"], int(s["iceberg_snapshot_id"]))
+                for s in self.snapshots()
+            ],
+            "snapshot_id int, op string, iceberg_snapshot_id bigint",
+        )
+        entries = self.spark.sql(
+            f"SELECT snapshot_id AS iceberg_snapshot_id, "
+            f"data_file.file_path AS file, data_file.record_count AS rows, "
+            f"data_file.file_size_in_bytes AS bytes "
+            f"FROM {self.identifier}.entries WHERE status = 1"
+        )
+        return ledger.join(entries, "iceberg_snapshot_id").select(
+            "snapshot_id", "op", "file", "rows", "bytes"
         )
 
     def rollback(self, snapshot_id: int) -> None:

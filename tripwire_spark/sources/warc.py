@@ -1,0 +1,165 @@
+"""WARC (ISO 28500) ingestion: Common-Crawl-style archives -> pages table.
+
+BASELINE.json's input hint is an Iceberg table of Common-Crawl-style
+pages ``(url, warc_ts, html, text, lang)``; the archives those tables
+are loaded FROM are WARC files (one gzip member per record on Common
+Crawl).  This module is that loader, Spark-shaped:
+
+- ``spark.read.format("binaryFile")`` lists and reads the archive files
+  (distributed listing, locality-aware splits, one task per file — the
+  right granularity because a .warc.gz member stream cannot be split
+  mid-file);
+- ``parse_warc`` walks records with an iterator-form ``mapInPandas``
+  (Arrow batches of whole files in, record rows out), so one Python
+  parse per ARCHIVE, never per record-byte re-scan: headers are read
+  until the blank line, the payload is sliced by ``Content-Length``
+  (the spec's framing — no regex over payload bytes), and HTTP response
+  headers are stripped to leave the raw html body.
+
+Scale shape: a 100 TB WARC corpus is ~100k x 1 GB files; binaryFile
+fans one task per file, the parser streams each file once, and the
+output is immediately in the pages-table shape for the extraction
+pipeline (`functions.html`) to derive text/lang.  No shuffle anywhere —
+ingestion is a single mapPartitions-style stage ending in a parquet/
+Iceberg write.
+
+Record framing follows the public WARC 1.0/1.1 spec (warc-specifications
+at iipc.github.io); only ``response`` (and ``resource``) records carry
+page bodies — others (warcinfo, request, metadata) are dropped.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, source_path string"
+
+_KEEP_TYPES = {"response", "resource"}
+
+
+def _split_records(blob: bytes) -> Iterator[tuple[dict, bytes]]:
+    """Yield (headers, payload) per WARC record via Content-Length
+    framing.  Tolerates both LF and CRLF header endings and any amount
+    of inter-record padding newlines."""
+    i, n = 0, len(blob)
+    while i < n:
+        # seek the next record marker
+        j = blob.find(b"WARC/", i)
+        if j < 0:
+            return
+        end = blob.find(b"\r\n\r\n", j)
+        sep = 4
+        if end < 0:
+            end = blob.find(b"\n\n", j)
+            sep = 2
+        if end < 0:
+            return
+        headers: dict[str, str] = {}
+        for line in blob[j:end].decode("utf-8", "replace").splitlines()[1:]:
+            k, _, v = line.partition(":")
+            if _:
+                headers[k.strip().lower()] = v.strip()
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            i = end + sep
+            continue
+        body_start = end + sep
+        yield headers, blob[body_start : body_start + length]
+        i = body_start + length
+
+
+def _strip_http(payload: bytes) -> bytes:
+    """A response record's payload is the full HTTP response; the page
+    body starts after the header blank line."""
+    if payload[:5] in (b"HTTP/", b"http/"):
+        for sep in (b"\r\n\r\n", b"\n\n"):
+            k = payload.find(sep)
+            if k >= 0:
+                return payload[k + len(sep) :]
+    return payload
+
+
+def _gunzip_members(blob: bytes) -> bytes:
+    """Decompress a multi-member gzip stream (Common Crawl writes one
+    member per record; ``GzipFile`` reads members back-to-back)."""
+    with gzip.GzipFile(fileobj=io.BytesIO(blob)) as f:
+        return f.read()
+
+
+def parse_warc(files: DataFrame, path_col: str = "path", content_col: str = "content") -> DataFrame:
+    """(path, content:binary) -> one row per page record, in the pages
+    input shape: ``(url, warc_ts, html, source_path)``.
+
+    Iterator-form mapInPandas: at most one Arrow batch of archive blobs
+    is materialized per task, and each blob is parsed exactly once.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for path, blob in zip(pdf[path_col], pdf[content_col]):
+                data = bytes(blob)
+                if path.endswith(".gz") or data[:2] == b"\x1f\x8b":
+                    data = _gunzip_members(data)
+                for headers, payload in _split_records(data):
+                    if headers.get("warc-type") not in _KEEP_TYPES:
+                        continue
+                    url = headers.get("warc-target-uri")
+                    if not url:
+                        continue
+                    ts = pd.to_datetime(
+                        headers.get("warc-date"), utc=True, errors="coerce"
+                    )
+                    rows.append(
+                        (
+                            url,
+                            None if ts is pd.NaT else ts.tz_localize(None),
+                            _strip_http(payload),
+                            path,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "source_path"]
+            )
+
+    return files.mapInPandas(gen, PAGES_SCHEMA)
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Load WARC archives under ``path`` into the pages input shape.
+    binaryFile's pathGlobFilter keeps the listing to archive files; one
+    task per archive (a gzip member stream is not splittable)."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc*")
+        .load(path)
+        .select("path", "content")
+    )
+    return parse_warc(files)
+
+
+def write_warc(records: list[tuple[str, str, bytes]], gzipped: bool = True) -> bytes:
+    """Serialize (url, iso_ts, html_body) triples into WARC bytes — the
+    test/fixture writer (one gzip member per record, like Common Crawl).
+    Lives here so round-trip tests pin the same framing the parser
+    reads."""
+    out = bytearray()
+    for url, ts, body in records:
+        http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+        head = (
+            "WARC/1.0\r\n"
+            "WARC-Type: response\r\n"
+            f"WARC-Target-URI: {url}\r\n"
+            f"WARC-Date: {ts}\r\n"
+            f"Content-Length: {len(http)}\r\n"
+            "\r\n"
+        ).encode()
+        rec = head + http + b"\r\n\r\n"
+        out += gzip.compress(rec) if gzipped else rec
+    return bytes(out)
