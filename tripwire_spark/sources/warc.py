@@ -144,6 +144,45 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     return parse_warc(files)
 
 
+def ingest_warc(spark: SparkSession, path: str, table=None) -> DataFrame:
+    """WARC archives -> the full BASELINE input_hint pages shape
+    ``(url, warc_ts, html:binary, text, lang)``: parse records, extract
+    text with the crawler's own Arrow-batched extractor (the
+    byte-identical-text contract holds because it IS the same code
+    path), and language-ID with pure column expressions.
+
+    When ``table`` (a SnapshotTable) is given, the batch is
+    fast-appended — per-file lineage stats land in the manifest, so
+    ingestion is resumable and metered per archive partition.  One
+    stage, no shuffle: binaryFile scan -> record walk -> text UDF ->
+    lang exprs -> write.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.html import extract_text
+    from ..operators.textstats import lang_id, tokens
+
+    pages = parse_warc(
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc*")
+        .load(path)
+        .select("path", "content")
+    )
+    out = pages.withColumn(
+        "text", extract_text(F.col("html").cast("string"))
+    ).select(
+        "url",
+        "warc_ts",
+        "html",
+        "text",
+        lang_id(tokens(F.col("text"))).alias("lang"),
+    )
+    if table is not None:
+        table.commit_append(out, {"source": path})
+        return table.read()
+    return out
+
+
 def write_warc(records: list[tuple[str, str, bytes]], gzipped: bool = True) -> bytes:
     """Serialize (url, iso_ts, html_body) triples into WARC bytes — the
     test/fixture writer (one gzip member per record, like Common Crawl).
