@@ -103,6 +103,44 @@ def test_parsed_robots_feed_politeness_schedule(spark):
     assert got == ["http://h.test/ok1", "http://h.test/ok2"]  # FIFO under budget 2
 
 
+def test_parsed_robots_drive_full_crawl(spark):
+    """Raw robots.txt bodies -> parse_robots -> robots_budget ->
+    run_crawl: even-numbered hosts disallow /p1 and it is never fetched
+    across the whole multi-round loop; odd hosts are unrestricted."""
+    from tripwire_spark.operators.crawl import run_crawl
+    from tripwire_spark.sources.synth import BLACKLIST_PATTERNS, synth_pages, synth_seeds
+
+    pages = synth_pages(spark, n_hosts=6, n_pages=4)
+    seeds = synth_seeds(spark, n_seeds=6, n_dup=0, n_blacklisted=0)
+    bodies = spark.range(0, 6).select(
+        F.format_string("site%04d.test", F.col("id")).alias("host"),
+        F.when(
+            F.pmod(F.col("id"), F.lit(2)) == 0,
+            F.lit("User-agent: *\nDisallow: /p1\nCrawl-delay: 30\n"),
+        ).otherwise(F.lit("User-agent: *\nDisallow:\n")).alias("body"),
+    )
+    robots = parse_robots(bodies).select(
+        "host",
+        "disallow_prefixes",
+        robots_budget(F.col("crawl_delay"), default_budget=3, round_seconds=60).alias(
+            "crawl_budget"
+        ),
+    )
+    state = run_crawl(spark, seeds, pages, robots, BLACKLIST_PATTERNS, max_rounds=3)
+    fetched = [r.url for r in state.fetch_log.select("url").collect()]
+    assert fetched, "crawl fetched nothing"
+    blocked = [u for u in fetched if u.endswith("/p1") and int(u[11:15]) % 2 == 0]
+    assert blocked == []
+    # positive control: /p1 URLs on disallowing hosts WERE discovered by
+    # the link graph and the robots gate marked them disabled (not just
+    # never-seen) — so the empty `blocked` above is enforcement, not luck
+    disabled = {
+        r.url
+        for r in state.frontier.filter(F.col("status") == "disabled").collect()
+    }
+    assert any(u.endswith("/p1") and int(u[11:15]) % 2 == 0 for u in disabled)
+
+
 def test_sitemap_locs(spark):
     xml = (
         '<?xml version="1.0"?><urlset>'
