@@ -128,3 +128,91 @@ def test_spark_canonicalize_matches_python(spark):
         assert row.canon == canonicalize_url_py(row.url)
         if row.canon is not None:
             assert isinstance(row.h, int)
+
+
+# ---------------------------------------------------------------------------
+# Fast-path invariants (urls._CANON_FAST and the absolute-href shortcut
+# in resolve_canonicalize): the fast paths must be pure optimizations —
+# identical output to the full pipeline on every input.
+# ---------------------------------------------------------------------------
+
+_SEG = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789._~-",
+    min_size=1,
+    max_size=8,
+)
+_LABEL = st.from_regex(r"[a-z0-9]([a-z0-9-]{0,8}[a-z0-9])?", fullmatch=True)
+
+
+@given(
+    st.sampled_from(["http", "https"]),
+    st.lists(_LABEL, min_size=2, max_size=4),
+    st.lists(_SEG, min_size=0, max_size=4),
+    st.sampled_from(["", "/"]),
+    st.sampled_from(["", "?a=1&b=2", "?x", "?a:b/c@d", "?.~-"]),
+)
+@settings(max_examples=500, deadline=None)
+def test_canon_fast_path_is_identity_on_full_pipeline(scheme, labels, segs, slash, q):
+    """Any URL _CANON_FAST accepts must equal the FULL canonicalizer's
+    output for it (fast-match => canonicalize is the identity)."""
+    import re as _re
+
+    from tripwire_spark.functions import urls as U
+
+    path = "/" + "/".join(segs) + (slash if segs else "")
+    u = f"{scheme}://{'.'.join(labels)}{path}{q}"
+    if not U._CANON_FAST.match(u):
+        return
+    saved = U._CANON_FAST
+    U._CANON_FAST = _re.compile(r"(?!)")  # disable fast path
+    try:
+        full = canonicalize_url_py(u)
+    finally:
+        U._CANON_FAST = saved
+    assert full == u, (u, full)
+
+
+def test_canon_fast_path_rejects_non_canonical():
+    from tripwire_spark.functions.urls import _CANON_FAST
+
+    for u in [
+        "https://host.test",          # canonical adds "/"
+        "http://HOST.test/",          # host must lowercase
+        "HTTP://host.test/",          # scheme must lowercase
+        "http://host.test:80/",       # default port strips
+        "http://host.test/a/../b",    # dot segments
+        "http://host.test/./a",
+        "http://host.test/a%2Fb",     # percent escapes
+        "http://host.test/a#frag",    # fragment drops
+        "http://host.test./",         # trailing host dot strips
+        "http://u:p@host.test/",      # userinfo -> slow path
+        "http://host..test/",         # empty label
+    ]:
+        assert not _CANON_FAST.match(u), u
+
+
+def test_resolve_absolute_shortcut_edge_cases(spark):
+    """Empty-netloc absolute-looking hrefs must still resolve via
+    urljoin against the base (the shortcut must not catch them)."""
+    import pyspark.sql.functions as F
+
+    from tripwire_spark.functions.urls import resolve_canonicalize
+
+    base = "http://base.test/a/b"
+    hrefs = [
+        "http://x.test/y",   # true absolute: shortcut
+        "https://x.test",    # absolute, empty path
+        "http://",           # empty netloc: merges with base
+        "http:///p",         # empty netloc + path
+        "http://?q",         # empty netloc + query
+        "/rel",              # relative
+        "rel2",              # relative
+        "//x.test/z",        # scheme-relative
+    ]
+    df = spark.createDataFrame([(base, h) for h in hrefs], "base string, href string")
+    got = {r.href: r.out for r in df.withColumn("out", resolve_canonicalize("base", "href")).collect()}
+    from urllib.parse import urljoin
+
+    for h in hrefs:
+        want = canonicalize_url_py(urljoin(base, h))
+        assert got[h] == want, (h, got[h], want)

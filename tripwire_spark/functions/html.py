@@ -25,8 +25,6 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-_WS = re.compile(r"\s+")
-
 _INVISIBLE = {"script", "style", "head", "noscript", "template"}
 
 
@@ -40,6 +38,12 @@ class _TextAndLinks(HTMLParser):
     def __init__(self, collect_fields: bool = False) -> None:
         super().__init__(convert_charrefs=True)
         self._collect_fields = collect_fields
+        # visibility state as depth counters so handle_data is O(1)
+        # instead of scanning the open-tag stack per text node; kept in
+        # lockstep with _stack by handle_starttag / handle_endtag
+        self._title_d = 0
+        self._invis_d = 0
+        self._body_d = 0
         self.title_parts: list[str] = []
         self.body_parts: list[str] = []
         self.links: list[tuple[str, str]] = []  # (href, text)
@@ -81,6 +85,12 @@ class _TextAndLinks(HTMLParser):
     # -- tag handling ----------------------------------------------------
     def handle_starttag(self, tag, attrs):
         self._stack.append(tag)
+        if tag == "title":
+            self._title_d += 1
+        elif tag in _INVISIBLE:
+            self._invis_d += 1
+        elif tag == "body":
+            self._body_d += 1
         a = dict(attrs)
         if tag == "a":
             self._cur_link = []
@@ -134,13 +144,21 @@ class _TextAndLinks(HTMLParser):
                 )
 
     def handle_endtag(self, tag):
-        while self._stack and self._stack.pop() != tag:
-            pass
+        while self._stack:
+            t = self._stack.pop()
+            if t == "title":
+                self._title_d -= 1
+            elif t in _INVISIBLE:
+                self._invis_d -= 1
+            elif t == "body":
+                self._body_d -= 1
+            if t == tag:
+                break
         if tag == "a" and self._cur_link is not None:
             # C15: text -> val -> alt, each trimmed; first non-empty wins
             # (pagefinder.js:131-156) — image links score by alt text
             # instead of being dropped by the length gate.
-            txt = _WS.sub(" ", " ".join(self._cur_link)).strip()
+            txt = " ".join(" ".join(self._cur_link).split())
             if not txt and self._cur_link_val:
                 txt = self._cur_link_val.strip()
             if not txt and self._cur_link_alt:
@@ -159,7 +177,7 @@ class _TextAndLinks(HTMLParser):
         elif tag == "label" and self._cur_label is not None:
             if self._cur_label_for and self._cur_label_for not in self.labels:
                 # labels.first() semantics (formfiller.js:221-235)
-                self.labels[self._cur_label_for] = _WS.sub(" ", " ".join(self._cur_label)).strip()
+                self.labels[self._cur_label_for] = " ".join(" ".join(self._cur_label).split())
             self._cur_label = None
             self._cur_label_for = None
 
@@ -176,13 +194,13 @@ class _TextAndLinks(HTMLParser):
     def handle_data(self, data):
         if not data:
             return
-        if "title" in self._stack:
+        if self._title_d:
             self.title_parts.append(data)
             return
-        if any(t in _INVISIBLE for t in self._stack):
+        if self._invis_d:
             return
-        if "body" in self._stack:
-            d = _WS.sub(" ", data).strip()
+        if self._body_d:
+            d = " ".join(data.split())
             if d:
                 self.body_parts.append(d)
                 if self._cur_link is not None:
@@ -195,12 +213,201 @@ class _TextAndLinks(HTMLParser):
                         self._cur_label.append(d)
 
 
+# ---------------------------------------------------------------------------
+# Fast tokenizer.  stdlib HTMLParser spends ~60% of parse CPU in its own
+# Python-level machinery (goahead's per-construct dispatch, updatepos
+# bookkeeping, check_for_whole_start_tag) before our handlers ever run.
+# _scan() below drives the SAME handler object with the SAME event
+# stream (it reuses HTMLParser's own compiled grammar regexes, so tag /
+# attr / comment boundaries are decided by identical patterns) but in
+# one flat loop with no position bookkeeping and no attr parsing for
+# tags the handler never inspects.  Any construct whose stdlib handling
+# is stateful-at-EOF or otherwise awkward to mirror exactly (unclosed
+# tags at end of input, `<![` marked sections, bogus end tags with no
+# closing '>') returns False and the caller re-parses from scratch with
+# the stdlib tokenizer — the fast path is an optimization, never a
+# semantics change.  Parity is pinned by tests/test_html_fast.py, which
+# fuzz-compares the two event streams token by token.
+# ---------------------------------------------------------------------------
+import html.parser as _hp
+from html import unescape as _unescape
+
+_LOCATE_START = _hp.locatestarttagend_tolerant
+_ATTRFIND = _hp.attrfind_tolerant
+_TAGFIND = _hp.tagfind_tolerant
+_ENDTAGFIND = _hp.endtagfind
+_COMMENTCLOSE = _hp.commentclose
+_CDATA_CLOSE = {
+    elem: re.compile(r"</\s*%s\s*>" % elem, re.I) for elem in ("script", "style")
+}
+_LETTERS = set("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ")
+# html.parser's check_for_whole_start_tag "end of input in or before
+# attribute value" character class
+_AMBIG_AFTER_TAG = set("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ=/")
+# Tags whose attrs the handler actually reads (dict(attrs) consulted in
+# handle_starttag) — every other tag gets an empty attr tuple.
+_ATTR_TAGS = frozenset(
+    ("a", "img", "form", "label", "select", "textarea", "input", "button")
+)
+
+
+def _scan(s: str, h: _TextAndLinks) -> bool:
+    """Emit HTMLParser's exact event stream for ``s`` into handler ``h``.
+
+    Returns False when the input contains a construct the fast path
+    does not mirror (the caller then re-parses with the stdlib
+    tokenizer on a FRESH handler); True when the full document was
+    consumed with stdlib-identical events."""
+    n = len(s)
+    i = 0
+    find = s.find
+    startswith = s.startswith
+    hd = h.handle_data
+    hst = h.handle_starttag
+    het = h.handle_endtag
+    while i < n:
+        j = find("<", i)
+        if j < 0:
+            j = n
+        if i < j:
+            chunk = s[i:j]
+            hd(_unescape(chunk) if "&" in chunk else chunk)
+        if j == n:
+            break
+        c = s[j + 1 : j + 2]
+        if c in _LETTERS:
+            # -- start tag (mirrors parse_starttag + check_for_whole_start_tag)
+            m = _LOCATE_START.match(s, j)
+            e = m.end()
+            nxt = s[e : e + 1]
+            if nxt == ">":
+                endpos = e + 1
+            elif nxt == "/" and startswith("/>", e):
+                endpos = e + 2
+            elif nxt == "" or nxt in _AMBIG_AFTER_TAG:
+                return False  # incomplete at EOF — stdlib's close() path
+            else:
+                return False  # "bogus input" branch — rare, stdlib handles
+            tm = _TAGFIND.match(s, j + 1)
+            tag = tm.group(1).lower()
+            k = tm.end()
+            attrs: list | tuple = ()
+            if k < endpos - 1 and s[k:endpos].strip() not in (">", "/>"):
+                collect = tag in _ATTR_TAGS
+                if collect:
+                    attrs = []
+                while k < endpos:
+                    am = _ATTRFIND.match(s, k)
+                    if not am:
+                        break
+                    if collect:
+                        attrname, rest, attrvalue = am.group(1, 2, 3)
+                        if not rest:
+                            attrvalue = None
+                        elif (
+                            attrvalue[:1] == "'" == attrvalue[-1:]
+                            or attrvalue[:1] == '"' == attrvalue[-1:]
+                        ):
+                            attrvalue = attrvalue[1:-1]
+                        if attrvalue:
+                            attrvalue = _unescape(attrvalue)
+                        attrs.append((attrname.lower(), attrvalue))
+                    k = am.end()
+                end = s[k:endpos].strip()
+                if end not in (">", "/>"):
+                    # stdlib: a start tag whose attrs don't parse cleanly
+                    # is emitted as raw data, NOT unescaped
+                    hd(s[j:endpos])
+                    i = endpos
+                    continue
+                if end == "/>":
+                    # handle_startendtag default: starttag then endtag,
+                    # never CDATA mode
+                    hst(tag, attrs)
+                    het(tag)
+                    i = endpos
+                    continue
+            elif startswith("/>", endpos - 2):
+                hst(tag, attrs)
+                het(tag)
+                i = endpos
+                continue
+            hst(tag, attrs)
+            i = endpos
+            if tag in _CDATA_CLOSE:
+                m2 = _CDATA_CLOSE[tag].search(s, i)
+                if not m2:
+                    # stdlib at EOF in cdata mode: the unterminated
+                    # content is silently dropped (goahead breaks before
+                    # its flush tail), no endtag event
+                    return True
+                if i < m2.start():
+                    hd(s[i : m2.start()])  # cdata content: never unescaped
+                het(tag)
+                i = m2.end()
+        elif c == "/":
+            # -- end tag (mirrors parse_endtag)
+            em = _ENDTAGFIND.match(s, j)
+            if em:
+                het(em.group(1).lower())
+                i = em.end()
+                continue
+            nm = _TAGFIND.match(s, j + 2)
+            if nm:
+                gtpos = find(">", nm.end())
+                if gtpos < 0:
+                    return False
+                het(nm.group(1).lower())
+                i = gtpos + 1
+            elif startswith("</>", j):
+                i = j + 3
+            else:
+                # bogus comment: skip to '>'
+                pos = find(">", j + 2)
+                if pos < 0:
+                    return False
+                i = pos + 1
+        elif startswith("<!--", j):
+            cm = _COMMENTCLOSE.search(s, j + 4)
+            if not cm:
+                return False
+            i = cm.end()
+        elif c == "?":
+            pos = find(">", j + 2)
+            if pos < 0:
+                return False
+            i = pos + 1
+        elif c == "!":
+            if startswith("<![", j):
+                return False  # marked section — stdlib-only
+            if s[j : j + 9].lower() == "<!doctype":
+                pos = find(">", j + 9)
+            else:
+                pos = find(">", j + 2)
+            if pos < 0:
+                return False
+            i = pos + 1
+        elif j + 1 < n:
+            hd("<")
+            i = j + 1
+        else:
+            hd("<")  # stdlib close(): trailing '<' flushes as data
+            break
+    return True
+
+
 def _parse(html: bytes | str | None, collect_fields: bool = False) -> _TextAndLinks:
     p = _TextAndLinks(collect_fields)
     if html is None:
         return p
     if isinstance(html, (bytes, bytearray)):
         html = html.decode("utf-8", errors="replace")
+    try:
+        if _scan(html, p):
+            return p
+    except Exception:
+        pass
+    p = _TextAndLinks(collect_fields)
     try:
         p.feed(html)
         p.close()
@@ -214,7 +421,7 @@ def extract_text_py(html: bytes | str | None) -> str | None:
     if html is None:
         return None
     p = _parse(html)
-    title = _WS.sub(" ", " ".join(p.title_parts)).strip()
+    title = " ".join(" ".join(p.title_parts).split())
     plain = " ".join(p.body_parts)
     return f"{title} {plain}"
 
@@ -225,7 +432,7 @@ def extract_text_mail_py(html: bytes | str | None) -> str | None:
     if html is None:
         return None
     p = _parse(html)
-    title = _WS.sub(" ", " ".join(p.title_parts)).strip()
+    title = " ".join(" ".join(p.title_parts).split())
     plain = " ".join(p.body_parts)
     return f"{title}\n{plain}\n"
 
@@ -371,7 +578,7 @@ def extract_page(html: pd.Series) -> pd.DataFrame:
         if h is None:
             return {"text": None, "links": []}
         p = _parse(h)
-        title = _WS.sub(" ", " ".join(p.title_parts)).strip()
+        title = " ".join(" ".join(p.title_parts).split())
         plain = " ".join(p.body_parts)
         return {
             "text": f"{title} {plain}",

@@ -99,6 +99,28 @@ def _remove_dot_segments(path: str) -> str:
     return res
 
 
+# Identity fast path: a URL matching this pattern is ALREADY its own
+# canonical form, so the full parse/normalize pipeline (urlsplit +
+# percent-normalization + dot-segment removal, ~10us/url) can be
+# skipped.  The pattern is deliberately a strict SUBSET of canonical
+# outputs: lowercase http(s) scheme; lowercase dotted host whose labels
+# start/end alphanumeric (no userinfo, no port — so default-port
+# stripping can't apply, and any explicit port takes the slow path); a
+# path of unreserved-charset segments none of which is "." or ".."; an
+# optional query over unreserved + "=&" (all inside _QUERY_SAFE, so
+# _pct_normalize is the identity); no "%", no "#", no "?" repetition.
+# tests/test_urls.py pins the invariant fast-match => canonicalize(u) == u
+# by fuzzing generated matches through the full canonicalizer.
+_CANON_FAST = re.compile(
+    r"https?://"
+    r"[a-z0-9](?:[a-z0-9-]{0,61}[a-z0-9])?"
+    r"(?:\.[a-z0-9](?:[a-z0-9-]{0,61}[a-z0-9])?)+"
+    r"/(?:(?!\.\.?(?:/|\?|$))[A-Za-z0-9._~\-]+/)*"
+    r"(?:(?!\.\.?(?:\?|$))[A-Za-z0-9._~\-]+)?"
+    r"(?:\?[A-Za-z0-9._~\-=&:@/]*)?$"
+)
+
+
 def canonicalize_url_py(url: str | None) -> str | None:
     """RFC-3986-canonicalize one URL; None if unparseable/invalid.
 
@@ -111,6 +133,8 @@ def canonicalize_url_py(url: str | None) -> str | None:
     """
     if url is None:
         return None
+    if _CANON_FAST.match(url):
+        return url  # already canonical (see _CANON_FAST invariant)
     u = url.strip()
     if not u:
         return None
@@ -211,6 +235,14 @@ def resolve_canonicalize(base: pd.Series, href: pd.Series) -> pd.Series:
     def one(b, h):
         if h is None:
             return None
+        if h.startswith("http://") and len(h) > 7 and h[7] not in "/?#":
+            # absolute href with a netloc: urljoin returns it verbatim —
+            # skip the (pure-python, ~5us) resolution entirely.  An
+            # EMPTY netloc ("http:///p", "http://", "http://?q") is NOT
+            # shortcut: urljoin merges those against the base.
+            return canonicalize_url_py(h)
+        if h.startswith("https://") and len(h) > 8 and h[8] not in "/?#":
+            return canonicalize_url_py(h)
         try:
             absolute = urljoin(b, h) if b else h
         except ValueError:
