@@ -333,6 +333,13 @@ def run_crawl(
         }
 
     clicked = None  # D2 state: ck hashes of texts followed in earlier rounds
+    # Whether the D2 state can hold ANY row yet.  A fresh crawl's round 1
+    # claims only seeds (ck is NULL by build_frontier construction), so
+    # its clicked-text probe is provably empty — skipping it saves the
+    # probe's distinct+join exchanges in the round where the frontier is
+    # purest.  Resume flips this on immediately (restored state may be
+    # non-empty); otherwise the first executed round does.
+    d2_nonempty = False
     assignments = None  # sticky identity<->domain state (host, iid, group, type)
     if resume and tables and tables["frontier"].latest_id():
         frontier = tables["frontier"].read()
@@ -340,6 +347,10 @@ def run_crawl(
         fetch_log = tables["fetch_log"].read() if tables["fetch_log"].latest_id() else None
         decision_log = tables["decision_log"].read()
         clicked = tables["clicked"].read() if tables["clicked"].latest_id() else None
+        # conservative: a resumed frontier carries ck rows, so even with
+        # no restored clicked table the first resumed round's claim-time
+        # fold can be non-empty
+        d2_nonempty = True
         if tables["assignments"].latest_id():
             assignments = tables["assignments"].read()
         last = tables["frontier"].snapshots()[-1]["summary"]
@@ -460,7 +471,7 @@ def run_crawl(
         new_rows, link_decisions, state_delta, _admit_ck = discover(
             links, seen, patterns, round_no=r, vid=vid,
             seen_state=seen_svc, state=seen_state_df, caches=round_caches,
-            clicked=clicked,
+            clicked=clicked if d2_nonempty else None,
         )
         # (D2 fold happens at CLAIM time above — _admit_ck, the admitted
         # links' ck rows, is for standalone discover() callers only.)
@@ -591,6 +602,7 @@ def run_crawl(
             )
 
         claimed.unpersist()
+        d2_nonempty = True  # later rounds may claim ck-bearing discoveries
         if nxt is not None:
             if seen_state_df is not None and tables:
                 seen_state_df.unpersist()
