@@ -64,23 +64,49 @@ from tripwire_spark.sources.snapshots import open_snapshot_table
 # the explicit (round_added, weight desc, qid) key (frontier.claim_order).
 
 
+FETCH_COLS = ["qid", "round_added", "try", "url", "host"]
+
+
 def fetch_extract(claimed: DataFrame, pages: DataFrame) -> DataFrame:
     """J11 fetch + single-parse extraction, fused.
 
-    broadcast(claimed) INNER JOIN pages (the 100 TB fact side is never
-    shuffled), then ONE ``extract_page`` pass producing byte-identical
-    text + gated link candidates.  The output is the round's working
-    set: frontier columns + (warc_ts, lang, text, links) — crucially
-    WITHOUT the html column, so caching it costs ~1% of caching the
-    joined pages.  Every downstream consumer (results, links, fetch
-    log, settle outcomes, miss detection) reads this one skinny cache;
-    the html bytes are touched exactly once per round.
+    broadcast(claimed keys) INNER JOIN pages **on the 64-bit canonical
+    url hash** (SURVEY §2.3 J11: the fetch is an equi-join on the
+    canonical url hash; hash identity is the same contract the seen set
+    already keys the whole engine on).  The 100 TB fact side is never
+    shuffled, and the BUILD side broadcasts only (url_hash, qid,
+    round_added, try) — four numeric columns, ~3x smaller than the full
+    frontier row, because the driver-side collect + hash-relation build
+    of the broadcast is SERIAL time that lands in the per-round constant
+    at any cluster size.  ``url`` comes back from the pages side
+    (equal-by-hash) and ``host`` is recomputed with the same
+    reg_domain(url_host(url)) expression that produced the frontier's
+    host — per-claimed-page vectorized work that scales with slots
+    instead of per-round driver time that does not.
+
+    Then ONE ``extract_page`` pass produces byte-identical text + gated
+    link candidates.  The output is the round's working set: FETCH_COLS
+    + (warc_ts, lang, text, links) — crucially WITHOUT the html column,
+    so caching it costs ~1% of caching the joined pages.  Every
+    downstream consumer (results, links, fetch log, settle outcomes,
+    miss detection) reads this one skinny cache; the html bytes are
+    touched exactly once per round.
     """
-    pg = pages.select(F.col("url").alias("p_url"), "warc_ts", "html", "lang")
-    joined = (
-        claimed.hint("broadcast").join(pg, claimed["url"] == pg["p_url"], "inner").drop("p_url")
+    keys = claimed.select("url_hash", "qid", "round_added", "try")
+    pg = pages.select(
+        F.xxhash64(F.col("url")).alias("p_hash"), "url", "warc_ts", "html", "lang"
     )
-    return joined.select(*FRONTIER_COLS, "warc_ts", "lang", extract_page("html").alias("p"))
+    joined = keys.hint("broadcast").join(pg, keys["url_hash"] == pg["p_hash"], "inner")
+    return joined.select(
+        "qid",
+        "round_added",
+        "try",
+        "url",
+        reg_domain(url_host("url")).alias("host"),
+        "warc_ts",
+        "lang",
+        extract_page("html").alias("p"),
+    )
 
 
 # F10: the link walk aborts on google/facebook pages
