@@ -502,6 +502,30 @@ def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    # tf-idf keyword extraction: top-3 characteristic terms per document
+    # (smoothed idf, deterministic term-asc tie-break)
+    from tripwire_spark.operators.weighting import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf, "documents"), "doc_id", "text", k=3)
+
+
+def q_domain_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    # Temperature-scaled domain mixing weights (alpha=0.5) per source
+    from tripwire_spark.operators.weighting import domain_mixture
+
+    return domain_mixture(_t(spark, sf, "documents"), "source", "text", alpha=0.5)
+
+
+def q_dsir_importance(spark: SparkSession, sf: str) -> DataFrame:
+    # DSIR-style importance: hashed-bigram NB log-likelihood ratio of
+    # the lang='en' slice vs the rest, mean per gram
+    from tripwire_spark.operators.weighting import dsir_importance
+
+    d = _t(spark, sf, "documents")
+    return dsir_importance(d, F.col("lang") == "en", "doc_id", "text", buckets=4096)
+
+
 def q_ip4_algebra(spark: SparkSession, sf: str) -> DataFrame:
     # C5: ip4/ip4r algebra on int64 (schema.sql:398-1467); /24 masking (C7)
     c = _t(spark, sf, "customer")
@@ -1602,6 +1626,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_repetition": q_doc_repetition,
     "decontaminate": q_decontaminate,
     "doc_fingerprint": q_doc_fingerprint,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "domain_mixture": q_domain_mixture,
+    "dsir_importance": q_dsir_importance,
     "ip4_algebra": q_ip4_algebra,
     "keyword_count": q_keyword_count,
     "fill_pct": q_fill_pct,
@@ -2022,6 +2049,73 @@ ORACLES.update(
                    list_reduce(list_prepend(CAST(0 AS BIGINT), v),
                                (a, b) -> (a * 131 + b) % 1000000007) AS fp_roll
             FROM vals
+        """,
+        "tfidf_top_terms": """
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents),
+            n AS (SELECT count(*) AS n_corpus FROM documents),
+            terms AS (
+              SELECT doc_id, len(t) AS doc_len, unnest(t) AS term FROM toks),
+            tf AS (
+              SELECT doc_id, term, count(*) AS n, any_value(doc_len) AS doc_len
+              FROM terms WHERE term <> '' GROUP BY doc_id, term),
+            dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            idf AS (SELECT term, round(ln((n_corpus + 1) / CAST(df + 1 AS DOUBLE)) + 1.0, 6) AS idf
+                    FROM dfs, n),
+            scored AS (
+              SELECT tf.doc_id, tf.term, tf.n,
+                     tf.n / CAST(tf.doc_len AS DOUBLE) * idf.idf AS s
+              FROM tf JOIN idf USING (term)),
+            ranked AS (
+              SELECT doc_id, term, n, s,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, term) AS rnk
+              FROM scored)
+            SELECT doc_id, rnk, term, n, round(s, 6) AS tfidf FROM ranked WHERE rnk <= 3
+        """,
+        "domain_mixture": """
+            WITH toks AS (
+              SELECT source, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents),
+            per AS (
+              SELECT source, count(*) AS n_docs,
+                     CAST(sum(len(list_filter(t, x -> x <> ''))) AS BIGINT) AS n_tokens
+              FROM toks GROUP BY source),
+            r AS (SELECT *, round(power(CAST(n_tokens AS DOUBLE), 0.5), 6) AS raw6 FROM per),
+            tot AS (SELECT sum(CAST(round(raw6 * 1000000.0, 0) AS BIGINT)) AS tot_micro FROM r)
+            SELECT source, n_docs, n_tokens,
+                   round(raw6 * 1000000.0 / tot_micro, 6) AS weight
+            FROM r, tot
+        """,
+        "dsir_importance": """
+            WITH toks AS (
+              SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents),
+            g AS (
+              SELECT doc_id, CAST(lang = 'en' AS INT) AS is_t,
+                     CASE WHEN len(t) >= 2
+                          THEN list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])
+                          ELSE [] END AS grams
+              FROM toks),
+            gb AS (
+              SELECT doc_id, is_t,
+                     ('0x' || substr(md5(unnest(grams)), 1, 8))::BIGINT % 4096 AS bucket
+              FROM g),
+            stats AS (
+              SELECT bucket, CAST(sum(is_t) AS BIGINT) AS n_t,
+                     CAST(count(*) - sum(is_t) AS BIGINT) AS n_r
+              FROM gb GROUP BY bucket),
+            totals AS (SELECT sum(n_t) AS tot_t, sum(n_r) AS tot_r FROM stats),
+            model AS (
+              SELECT bucket,
+                     CAST(round((ln((n_t + 1) / CAST(tot_t + 4096 AS DOUBLE))
+                               - ln((n_r + 1) / CAST(tot_r + 4096 AS DOUBLE))) * 1000000.0, 0)
+                          AS BIGINT) AS llr_micro
+              FROM stats, totals),
+            per_doc AS (
+              SELECT gb.doc_id, count(*) AS n_grams, sum(m.llr_micro) AS s
+              FROM gb JOIN model m USING (bucket) GROUP BY gb.doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+                   coalesce(round(p.s / 1000000.0 / p.n_grams, 6), 0.0) AS dsir_score
+            FROM documents d LEFT JOIN per_doc p USING (doc_id)
         """,
         "ip4_algebra": """
             WITH ips AS (

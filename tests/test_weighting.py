@@ -1,0 +1,81 @@
+"""Corpus weighting operators (operators/weighting.py): tf-idf top-k,
+temperature-scaled domain mixture, DSIR importance scores."""
+
+import math
+
+import pyspark.sql.functions as F
+
+from tripwire_spark.operators.weighting import (
+    domain_mixture,
+    dsir_importance,
+    tfidf_top_terms,
+)
+
+
+def _docs(spark):
+    rows = [
+        # (doc_id, text, lang, source): two "en"-ish sources, one "noise"
+        (1, "the cat sat on the mat the cat cat", "en", "web"),
+        (2, "the dog sat on the log", "en", "web"),
+        (3, "quantum flux capacitor drives the warp core", "en", "books"),
+        (4, "zzz qqq zzz qqq zzz", "und", "spam"),
+        (5, "", "und", "spam"),  # empty doc: no terms, no grams
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+
+def test_tfidf_ranks_distinctive_terms_first(spark):
+    out = tfidf_top_terms(_docs(spark), "doc_id", "text", k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # every doc with terms got <= k rows, ranked 1..k, scores non-increasing
+    for doc, rs in by_doc.items():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+        assert all(rs[i].tfidf >= rs[i + 1].tfidf for i in range(len(rs) - 1))
+    # "cat" appears twice in doc 1 and nowhere else -> it must outrank
+    # the corpus-wide "the" for doc 1
+    assert by_doc[1][0].term == "cat"
+    # empty doc contributes no rows
+    assert 5 not in by_doc
+
+
+def test_tfidf_idf_formula(spark):
+    # "the" occurs in docs 1,2,3 (df=3, N=5): idf = ln(6/4)+1
+    out = {(r.doc_id, r.term): r for r in tfidf_top_terms(_docs(spark), k=10).collect()}
+    r = out[(2, "the")]
+    idf = round(math.log(6 / 4) + 1, 6)
+    assert abs(r.tfidf - round(2 / 6 * idf, 6)) < 1e-9  # 2 of 6 tokens
+
+
+def test_domain_mixture_weights(spark):
+    out = {r.source: r for r in domain_mixture(_docs(spark), alpha=0.5).collect()}
+    assert set(out) == {"web", "books", "spam"}
+    # weights sum to ~1 and follow sqrt(token count) ordering
+    assert abs(sum(r.weight for r in out.values()) - 1.0) < 1e-5
+    assert out["web"].n_tokens == 15 and out["books"].n_tokens == 7
+    assert out["spam"].n_tokens == 5  # empty doc adds 0 tokens
+    assert out["web"].weight > out["books"].weight > out["spam"].weight
+    # alpha=0 is uniform
+    uni = {r.source: r.weight for r in domain_mixture(_docs(spark), alpha=0.0).collect()}
+    assert all(abs(w - round(1 / 3, 6)) < 1e-5 for w in uni.values())
+
+
+def test_dsir_scores_target_like_docs_higher(spark):
+    d = _docs(spark)
+    out = {r.doc_id: r for r in dsir_importance(d, F.col("lang") == "en").collect()}
+    # every doc present exactly once; gramless doc scores 0 with 0 grams
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert out[5].n_grams == 0 and out[5].dsir_score == 0.0
+    # en-doc bigrams dominate the target slice: en docs score above the
+    # spam doc whose grams only ever appear in the rest slice
+    assert min(out[i].dsir_score for i in (1, 2, 3)) > out[4].dsir_score
+    assert out[1].n_grams == 8  # 9 tokens -> 8 bigrams
+
+
+def test_dsir_deterministic_across_partitionings(spark):
+    d = _docs(spark)
+    a = dsir_importance(d.repartition(1), F.col("lang") == "en").collect()
+    b = dsir_importance(d.repartition(7), F.col("lang") == "en").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
