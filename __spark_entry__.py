@@ -526,6 +526,20 @@ def q_dsir_importance(spark: SparkSession, sf: str) -> DataFrame:
     return dsir_importance(d, F.col("lang") == "en", "doc_id", "text", buckets=4096)
 
 
+def q_host_rank(spark: SparkSession, sf: str) -> DataFrame:
+    # Integer-exact PageRank (3 iterations, damping 85%) over a host
+    # graph derived deterministically from events — the frontier
+    # prioritization signal (reference ranks hosts by Alexa position;
+    # alexa.src / queue_sites seed order)
+    from tripwire_spark.operators.graph import page_rank
+
+    e = _t(spark, sf, "events").select(
+        F.format_string("h%02d", F.pmod(F.col("user_id"), F.lit(50)).cast("int")).alias("src"),
+        F.format_string("h%02d", F.pmod(F.col("event_id"), F.lit(50)).cast("int")).alias("dst"),
+    )
+    return page_rank(e, "src", "dst", iterations=3)
+
+
 def q_ip4_algebra(spark: SparkSession, sf: str) -> DataFrame:
     # C5: ip4/ip4r algebra on int64 (schema.sql:398-1467); /24 masking (C7)
     c = _t(spark, sf, "customer")
@@ -1629,6 +1643,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "domain_mixture": q_domain_mixture,
     "dsir_importance": q_dsir_importance,
+    "host_rank": q_host_rank,
     "ip4_algebra": q_ip4_algebra,
     "keyword_count": q_keyword_count,
     "fill_pct": q_fill_pct,
@@ -2116,6 +2131,35 @@ ORACLES.update(
                    CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
                    coalesce(round(p.s / 1000000.0 / p.n_grams, 6), 0.0) AS dsir_score
             FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        """,
+        "host_rank": """
+            WITH e AS (
+              SELECT DISTINCT printf('h%02d', CAST(user_id % 50 AS INT)) AS s,
+                              printf('h%02d', CAST(event_id % 50 AS INT)) AS d
+              FROM events),
+            nd AS (SELECT DISTINCT node FROM (SELECT s AS node FROM e UNION ALL SELECT d FROM e)),
+            n AS (SELECT count(*) AS n FROM nd),
+            od AS (SELECT s, count(*) AS od FROM e GROUP BY s),
+            r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) // n.n AS r FROM nd, n),
+            c1 AS (SELECT e.d AS node, CAST(sum(r0.r // od.od) AS BIGINT) AS c
+                   FROM e JOIN r0 ON e.s = r0.node JOIN od ON e.s = od.s GROUP BY e.d),
+            r1 AS (SELECT nd.node,
+                          CAST(1000000000000 AS BIGINT) * 15 // 100 // n.n
+                          + 85 * coalesce(c1.c, 0) // 100 AS r
+                   FROM nd CROSS JOIN n LEFT JOIN c1 ON nd.node = c1.node),
+            c2 AS (SELECT e.d AS node, CAST(sum(r1.r // od.od) AS BIGINT) AS c
+                   FROM e JOIN r1 ON e.s = r1.node JOIN od ON e.s = od.s GROUP BY e.d),
+            r2 AS (SELECT nd.node,
+                          CAST(1000000000000 AS BIGINT) * 15 // 100 // n.n
+                          + 85 * coalesce(c2.c, 0) // 100 AS r
+                   FROM nd CROSS JOIN n LEFT JOIN c2 ON nd.node = c2.node),
+            c3 AS (SELECT e.d AS node, CAST(sum(r2.r // od.od) AS BIGINT) AS c
+                   FROM e JOIN r2 ON e.s = r2.node JOIN od ON e.s = od.s GROUP BY e.d),
+            r3 AS (SELECT nd.node,
+                          CAST(1000000000000 AS BIGINT) * 15 // 100 // n.n
+                          + 85 * coalesce(c3.c, 0) // 100 AS r
+                   FROM nd CROSS JOIN n LEFT JOIN c3 ON nd.node = c3.node)
+            SELECT node, CAST(r AS BIGINT) AS rank_micro FROM r3
         """,
         "ip4_algebra": """
             WITH ips AS (

@@ -117,3 +117,36 @@ def test_accept_mail_parses_each_message_once(spark):
     plan = _plan(out)
     assert plan.count("parse_message") == 1, plan
     assert out.count() == 20  # and the pipeline still yields one row per mail
+
+
+def test_dsir_model_join_is_broadcast(spark):
+    """The DSIR bucket model (<= 4096 rows) must come back to the gram
+    stream as a broadcast — a sort-merge there would shuffle the whole
+    exploded bigram stream by bucket at 100 TB."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["dsir_importance"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tfidf_no_cartesian_and_partial_agg(spark):
+    """tf-idf's corpus-size normalizer is a 1-row broadcast (never a
+    cartesian over data), and the term-df aggregation must show
+    map-side partial aggregation (the Zipf-skew absorber)."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["tfidf_top_terms"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_page_rank_iteration_joins_stay_hash(spark):
+    """PageRank's per-iteration edge x rank join is keyed by node; no
+    iteration may degrade to a cartesian, and the rank updates must
+    partially aggregate before the exchange."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["host_rank"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2

@@ -1,0 +1,103 @@
+"""Host-graph analytics: integer-exact PageRank for frontier
+prioritization.
+
+A production crawler ranks hosts by link authority when deciding how
+much politeness budget each gets (the reference ranks by Alexa position
+— ``alexa.src``, ``queue_sites``'s seed ordering; PageRank over the
+crawl's OWN host graph is the self-contained generalization once a few
+rounds of links exist).  This module computes it as a fixed-iteration
+DataFrame loop — the classic iterative-Spark shape.
+
+Determinism contract (the reason for the integer arithmetic): PageRank
+is normally a float fixpoint, and float SUMs depend on accumulation
+order, which differs across engines, partitionings, and cluster sizes.
+Here ALL mass lives in int64 micro-units (UNIT = 1e12 = one full rank
+point) and every step is integer division/multiplication:
+
+    r0(v)   = UNIT div N
+    c_i(v)  = sum over in-edges (u,v) of  r_i(u) div outdeg(u)
+    r_i+1(v)= (UNIT * (100-D)) div 100 div N  +  (D * c_i(v)) div 100
+
+with D = damping percent (85).  Floor-division loses <= outdeg(u)
+micro-units per node per step (leaked, like dangling mass — documented
+deviation from textbook PageRank, where both are redistributed), and in
+exchange the result is bit-identical everywhere: the DuckDB oracle twin
+hash-matches exactly, and a 1000-executor run reproduces the laptop
+byte-for-byte.
+
+Scale shape: per iteration one join of edges against the (node, rank)
+table on src and one partial-agg groupBy on dst — both shuffles keyed
+by node, so co-partitioning is reused across iterations by AQE; ranks
+are 2 longs/node; ``checkpoint_every`` truncates the growing loop
+lineage the same way the crawl loop does.  No driver collect anywhere;
+N is a 1-row broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+UNIT = 10**12
+
+
+def page_rank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping_pct: int = 85,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Rank nodes of a directed graph; returns (node, rank_micro) with
+    rank_micro summing to <= UNIT (floor-division leakage).  Edges are
+    deduplicated (unweighted semantics)."""
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
+    nodes = (
+        e.select(F.col("s").alias("node")).union(e.select(F.col("d").alias("node"))).distinct()
+    )
+    outdeg = e.groupBy("s").agg(F.count(F.lit(1)).alias("od"))
+    n1 = nodes.select(F.count(F.lit(1)).alias("n"))
+    base = nodes.crossJoin(F.broadcast(n1))
+    ranks = base.selectExpr("node", f"CAST({UNIT} AS BIGINT) div n AS r")
+    for i in range(iterations):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "s"), "s")
+            .join(outdeg, "s")
+            .selectExpr("d AS node", "r div od AS c")
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = base.join(contrib, "node", "left").selectExpr(
+            "node",
+            f"CAST({UNIT} AS BIGINT) * {100 - damping_pct} div 100 div n"
+            f" + {damping_pct} * coalesce(c, CAST(0 AS BIGINT)) div 100 AS r",
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("node", F.col("r").alias("rank_micro"))
+
+
+def host_rank_weights(
+    frontier: DataFrame, ranks: DataFrame, use_broadcast: bool = True
+) -> DataFrame:
+    """Set the frontier's claim weight from host authority.
+
+    ``ranks`` is ``page_rank`` output with node = registrable host; the
+    rank becomes the claim weight (``frontier.claim_order`` sorts
+    weight DESC within a round, so high-authority hosts are fetched
+    first), and hosts without a rank keep their existing weight (NULL
+    sorts last).  The rank side is 2 longs/host: broadcastable to
+    ~10^7 hosts (``use_broadcast=True``, the dimension-join default);
+    beyond that pass False and it is a plain shuffle join on host.
+    """
+    r = ranks.select(
+        F.col("node").alias("host"), (F.col("rank_micro") / 1.0e12).alias("__w")
+    )
+    if use_broadcast:
+        r = F.broadcast(r)
+    return (
+        frontier.join(r, "host", "left")
+        .withColumn("weight", F.coalesce(F.col("__w"), F.col("weight")))
+        .drop("__w")
+    )

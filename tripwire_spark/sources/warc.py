@@ -144,6 +144,28 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     return parse_warc(files)
 
 
+def _enrich_pages(pages: DataFrame) -> DataFrame:
+    """Record rows -> the full BASELINE input_hint pages shape
+    ``(url, warc_ts, html:binary, text, lang)`` — the crawler's own
+    Arrow-batched extractor (byte-identical-text contract) plus pure
+    column-expression language ID.  Works identically on batch and
+    streaming frames (no aggregation, no state)."""
+    from pyspark.sql import functions as F
+
+    from ..functions.html import extract_text
+    from ..operators.textstats import lang_id, tokens
+
+    return pages.withColumn(
+        "text", extract_text(F.col("html").cast("string"))
+    ).select(
+        "url",
+        "warc_ts",
+        "html",
+        "text",
+        lang_id(tokens(F.col("text"))).alias("lang"),
+    )
+
+
 def ingest_warc(spark: SparkSession, path: str, table=None) -> DataFrame:
     """WARC archives -> the full BASELINE input_hint pages shape
     ``(url, warc_ts, html:binary, text, lang)``: parse records, extract
@@ -157,30 +179,65 @@ def ingest_warc(spark: SparkSession, path: str, table=None) -> DataFrame:
     stage, no shuffle: binaryFile scan -> record walk -> text UDF ->
     lang exprs -> write.
     """
-    from pyspark.sql import functions as F
-
-    from ..functions.html import extract_text
-    from ..operators.textstats import lang_id, tokens
-
     pages = parse_warc(
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.warc*")
         .load(path)
         .select("path", "content")
     )
-    out = pages.withColumn(
-        "text", extract_text(F.col("html").cast("string"))
-    ).select(
-        "url",
-        "warc_ts",
-        "html",
-        "text",
-        lang_id(tokens(F.col("text"))).alias("lang"),
-    )
+    out = _enrich_pages(pages)
     if table is not None:
         table.commit_append(out, {"source": path})
         return table.read()
     return out
+
+
+def stream_warc(
+    spark: SparkSession,
+    path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Continuous WARC ingestion: the Structured-Streaming twin of
+    ``ingest_warc`` for a landing directory that keeps receiving
+    archives (the production Common-Crawl shape: crawlers drop
+    .warc.gz files, the pages table follows).
+
+    Same plan as the batch path — binaryFile source, record walk,
+    Arrow text extraction, lang exprs — with the streaming engine's
+    file-source ledger providing EXACTLY-ONCE per archive: processed
+    files are recorded in ``checkpoint_dir``, so restarts and repeated
+    ``availableNow`` runs ingest only new arrivals (the resumability
+    ``ingest_warc`` gets from snapshot manifests, supplied here by the
+    engine itself).  No aggregation, no watermark, no state store —
+    a stateless map pipeline, so throughput is identical to batch.
+
+    ``available_now=True`` drains everything currently in ``path`` and
+    stops (incremental batch — the scheduled-ingest mode);
+    ``False`` runs until stopped.  ``max_files_per_trigger`` bounds a
+    micro-batch for backpressure at cluster scale.  Returns the
+    StreamingQuery; callers ``awaitTermination()``.
+    """
+    reader = (
+        spark.readStream.format("binaryFile")
+        .option("pathGlobFilter", "*.warc*")
+        .schema("path string, modificationTime timestamp, length long, content binary")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    files = reader.load(path).select("path", "content")
+    out = _enrich_pages(parse_warc(files))
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def write_warc(records: list[tuple[str, str, bytes]], gzipped: bool = True) -> bytes:
