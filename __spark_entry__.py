@@ -490,6 +490,14 @@ def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     return decontaminate(d, ev, "doc_id", "text", "doc_id", "text", n=3, max_overlap=0.2)
 
 
+def q_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    # ExactSubstr-style repeated-span removal (Lee et al. 2022): every
+    # 8-token window seen earlier in (doc, pos) order loses its tokens
+    from tripwire_spark.operators.dedup import remove_repeated_spans
+
+    return remove_repeated_spans(_aug_docs(spark, sf), "doc", "text", span=8)
+
+
 def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     # Fingerprints: md5 of normalized text + order-sensitive rolling hash
     from tripwire_spark.operators import textstats as TS
@@ -1639,6 +1647,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_quality": q_doc_quality,
     "doc_repetition": q_doc_repetition,
     "decontaminate": q_decontaminate,
+    "span_dedup": q_span_dedup,
     "doc_fingerprint": q_doc_fingerprint,
     "tfidf_top_terms": q_tfidf_top_terms,
     "domain_mixture": q_domain_mixture,
@@ -2051,6 +2060,35 @@ ORACLES.update(
                    round(coalesce(h.n_hits, 0) / CAST(t.n_shingles AS DOUBLE), 6) AS overlap,
                    coalesce(h.n_hits, 0) / CAST(t.n_shingles AS DOUBLE) > 0.2 AS contaminated
             FROM totals t LEFT JOIN hits h ON h.doc = t.doc
+        """,
+        "span_dedup": """
+            WITH docs AS (
+              SELECT doc_id AS doc, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000 AS doc, text || ' zzz end' AS text
+              FROM documents WHERE doc_id % 25 = 0),
+            toks AS (SELECT doc, string_split_regex(trim(text), '\\s+') AS t FROM docs),
+            wins AS (
+              SELECT doc, unnest(CASE WHEN len(t) >= 8
+                                      THEN generate_series(1, len(t) - 7)
+                                      ELSE [] END) AS p, t
+              FROM toks),
+            sp AS (SELECT doc, p,
+                          ('0x' || substr(md5(array_to_string(t[p:p+7], ' ')), 1, 12))::BIGINT AS whash
+                   FROM wins),
+            rk AS (SELECT doc, p, row_number() OVER (PARTITION BY whash ORDER BY doc, p) AS rn FROM sp),
+            rem AS (SELECT doc, list_sort(list(p)) AS ps FROM rk WHERE rn > 1 GROUP BY doc),
+            j AS (SELECT toks.doc, t, coalesce(rem.ps, []) AS ps
+                  FROM toks LEFT JOIN rem ON toks.doc = rem.doc),
+            k AS (SELECT doc, t,
+                         list_filter(generate_series(1, len(t)),
+                                     i -> NOT len(list_filter(ps, q -> i >= q AND i < q + 8)) > 0) AS kept
+                  FROM j)
+            SELECT doc AS doc_id,
+                   array_to_string(list_transform(kept, i -> t[i]), ' ') AS clean_text,
+                   CAST(len(t) AS BIGINT) AS n_tokens,
+                   CAST(len(t) - len(kept) AS BIGINT) AS n_removed
+            FROM k
         """,
         "doc_fingerprint": """
             WITH toks AS (

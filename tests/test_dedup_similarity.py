@@ -183,3 +183,36 @@ def test_ann_ivf_recall(spark):
     # determinism: the trained quantizer is content-derived, not RNG
     ivf2 = {(r.qid, r.cid) for r in ivf_topk(e, q, k=3, n_centroids=16, n_probe=6).collect()}
     assert ivf == ivf2
+
+
+def test_remove_repeated_spans_cross_doc_and_self(spark):
+    """ExactSubstr semantics hand-traced: the FIRST occurrence of a
+    repeated 8-token span survives; later copies (cross-doc and within
+    one doc) lose exactly the covered tokens."""
+    from tripwire_spark.operators.dedup import remove_repeated_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),                    # first occurrence
+            (2, "x x a b c d e f g h tail"),               # copy at p=3
+            (3, "m n o p q r s t m n o p q r s t"),        # self-repeat at p=9
+            (4, "short doc"),                              # < span: untouched
+        ],
+        "doc long, text string",
+    )
+    out = {r.doc_id: r for r in remove_repeated_spans(docs, "doc", "text", span=8).collect()}
+    assert out[1].clean_text == "a b c d e f g h i j" and out[1].n_removed == 0
+    assert out[2].clean_text == "x x tail" and out[2].n_removed == 8
+    assert out[3].clean_text == "m n o p q r s t" and out[3].n_removed == 8
+    assert out[4].clean_text == "short doc" and out[4].n_removed == 0
+    assert out[2].n_tokens == 11 and out[3].n_tokens == 16
+
+    # stride=8 still catches the aligned self-repeat with 1/8 the windows
+    s8 = {r.doc_id: r for r in
+          remove_repeated_spans(docs, "doc", "text", span=8, stride=8).collect()}
+    assert s8[3].clean_text == "m n o p q r s t"
+
+    # deterministic across partitionings (window total order is (doc, p))
+    a = remove_repeated_spans(docs.repartition(1), "doc", "text", span=8).collect()
+    b = remove_repeated_spans(docs.repartition(7), "doc", "text", span=8).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
