@@ -490,6 +490,32 @@ def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     return decontaminate(d, ev, "doc_id", "text", "doc_id", "text", n=3, max_overlap=0.2)
 
 
+def q_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    # Incremental dedup: a NEW batch (the +100000 near-dup copies) vs a
+    # pre-built corpus index — history contributes only its persisted
+    # LSH bucket rows + candidate-key shingles, never a full re-scan
+    from tripwire_spark.operators.dedup import (
+        band_buckets,
+        incremental_dedup_pairs,
+        minhash_signatures,
+        shingles,
+    )
+
+    corpus = _t(spark, sf, "documents").select(F.col("doc_id").alias("doc"), "text")
+    batch = (
+        _t(spark, sf, "documents")
+        .filter(F.pmod(F.col("doc_id"), F.lit(25)) == 0)
+        .select(
+            (F.col("doc_id") + 100000).alias("doc"),
+            F.concat(F.col("text"), F.lit(" zzz end")).alias("text"),
+        )
+    )
+    corpus_sh = shingles(corpus, "doc", "text", 3)
+    idx_buckets = band_buckets(minhash_signatures(corpus_sh, 64), 32, 2)
+    new_sh = shingles(batch, "doc", "text", 3)
+    return incremental_dedup_pairs(new_sh, corpus_sh, idx_buckets, 64, 32, 2, 0.8)
+
+
 def q_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
     # ExactSubstr-style repeated-span removal (Lee et al. 2022): every
     # 8-token window seen earlier in (doc, pos) order loses its tokens
@@ -1647,6 +1673,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_quality": q_doc_quality,
     "doc_repetition": q_doc_repetition,
     "decontaminate": q_decontaminate,
+    "incremental_dedup": q_incremental_dedup,
     "span_dedup": q_span_dedup,
     "doc_fingerprint": q_doc_fingerprint,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -2060,6 +2087,16 @@ ORACLES.update(
                    round(coalesce(h.n_hits, 0) / CAST(t.n_shingles AS DOUBLE), 6) AS overlap,
                    coalesce(h.n_hits, 0) / CAST(t.n_shingles AS DOUBLE) > 0.2 AS contaminated
             FROM totals t LEFT JOIN hits h ON h.doc = t.doc
+        """,
+        "incremental_dedup": f"""
+            WITH {_AUG_DOCS_SQL}
+            SELECT doc_a, doc_b,
+                   round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc = inter.doc_a
+            JOIN sizes sb ON sb.doc = inter.doc_b
+            WHERE inter / (sa.sz + sb.sz - inter) >= 0.8
+              AND doc_b >= 100000
         """,
         "span_dedup": """
             WITH docs AS (

@@ -216,3 +216,36 @@ def test_remove_repeated_spans_cross_doc_and_self(spark):
     a = remove_repeated_spans(docs.repartition(1), "doc", "text", span=8).collect()
     b = remove_repeated_spans(docs.repartition(7), "doc", "text", span=8).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_minhash_corpus_index_incremental_lifecycle(spark, tmp_path):
+    """Bootstrap an index, dedup batch 1 against it, fast-append batch 1,
+    then batch 2 must match BOTH the original corpus and batch 1 —
+    history is queried via its persisted bucket/shingle snapshots, and
+    appends never rewrite prior files (snapshot row counts add up)."""
+    import pyspark.sql.functions as F
+
+    from tripwire_spark.operators.dedup import MinHashCorpusIndex
+    from tripwire_spark.sources.snapshots import SnapshotTable
+
+    base = " ".join(f"w{i}" for i in range(40))
+    corpus = spark.createDataFrame([(1, base), (2, "totally different words " * 10)],
+                                   "doc long, text string")
+    b1 = spark.createDataFrame([(101, base + " tail1")], "doc long, text string")
+    b2 = spark.createDataFrame([(201, base + " tail2")], "doc long, text string")
+
+    idx = MinHashCorpusIndex(
+        SnapshotTable(spark, str(tmp_path), "buckets"),
+        SnapshotTable(spark, str(tmp_path), "shingles"),
+    )
+    idx.bootstrap(corpus, "doc", "text")
+    n_boot = idx.buckets.read().count()
+
+    p1 = {(r.doc_a, r.doc_b) for r in idx.dedup_batch(b1, "doc", "text").collect()}
+    assert p1 == {(1, 101)}  # matches the corpus twin, not the unrelated doc
+
+    idx.append(b1, "doc", "text")
+    assert idx.buckets.read().count() == n_boot + 32  # one batch doc x 32 bands
+
+    p2 = {(r.doc_a, r.doc_b) for r in idx.dedup_batch(b2, "doc", "text").collect()}
+    assert p2 == {(1, 201), (101, 201)}  # corpus AND previously appended batch

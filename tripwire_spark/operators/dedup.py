@@ -78,12 +78,10 @@ def minhash_signatures(sh: DataFrame, k: int = 64) -> DataFrame:
     return g.select("doc", F.array(*[F.col(f"m{i}") for i in range(k)]).alias("sig"))
 
 
-def lsh_candidates(sigs: DataFrame, bands: int = 32, rows: int = 2) -> DataFrame:
-    """Banded LSH: docs sharing any band bucket become candidate pairs.
-
-    P(candidate | jaccard j) = 1 - (1 - j^rows)^bands; at (32,2) a
-    j=0.8 pair is missed with p ~ 4e-14.
-    """
+def band_buckets(sigs: DataFrame, bands: int = 32, rows: int = 2) -> DataFrame:
+    """(doc, band, bkey) bucket rows — the LSH join key material.  Split
+    out of ``lsh_candidates`` so an INDEX of these rows can be persisted
+    and new batches joined against it incrementally."""
     band_structs = F.array(
         *[
             F.struct(
@@ -93,9 +91,18 @@ def lsh_candidates(sigs: DataFrame, bands: int = 32, rows: int = 2) -> DataFrame
             for b in range(bands)
         ]
     )
-    buckets = sigs.select("doc", F.explode(band_structs).alias("bb")).select(
+    return sigs.select("doc", F.explode(band_structs).alias("bb")).select(
         "doc", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
     )
+
+
+def lsh_candidates(sigs: DataFrame, bands: int = 32, rows: int = 2) -> DataFrame:
+    """Banded LSH: docs sharing any band bucket become candidate pairs.
+
+    P(candidate | jaccard j) = 1 - (1 - j^rows)^bands; at (32,2) a
+    j=0.8 pair is missed with p ~ 4e-14.
+    """
+    buckets = band_buckets(sigs, bands, rows)
     a = buckets.select(F.col("doc").alias("doc_a"), "band", "bkey")
     b = buckets.select(F.col("doc").alias("doc_b"), "band", "bkey")
     return (
@@ -476,3 +483,112 @@ def remove_repeated_spans(
         F.size(F.col("__t")).cast("long").alias("n_tokens"),
         (F.size(F.col("__t")) - F.size(kept)).cast("long").alias("n_removed"),
     )
+
+
+# --- incremental dedup against a persisted corpus index --------------------
+
+
+def incremental_dedup_pairs(
+    new_sh: DataFrame,
+    index_sh: DataFrame,
+    index_buckets: DataFrame,
+    k: int = 64,
+    bands: int = 32,
+    rows: int = 2,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup pairs of a NEW batch vs an already-indexed corpus (plus
+    within-batch pairs) — the production shape: today's crawl dedupes
+    against all history without ever re-scanning history's text.
+
+    Only the batch is shingled/minhashed (``new_sh``); the corpus side
+    contributes its persisted (doc, band, bkey) bucket rows to the
+    candidate join and its shingle rows to the exact verify, both
+    joined ON CANDIDATE KEYS only — history is touched proportionally
+    to how much of it collides with the batch, never in full.  Output
+    = verified exact-Jaccard pairs (doc_a < doc_b), so recall follows
+    the banding bound (1-(1-t^r)^b) and false positives never escape.
+    """
+    new_sigs = minhash_signatures(new_sh, k)
+    new_buckets = band_buckets(new_sigs, bands, rows)
+    cross = new_buckets.join(
+        index_buckets.select(
+            F.col("doc").alias("__odoc"), "band", "bkey"
+        ),
+        ["band", "bkey"],
+    ).select("doc", "__odoc")
+    within = new_buckets.join(
+        new_buckets.select(F.col("doc").alias("__odoc"), "band", "bkey"),
+        ["band", "bkey"],
+    ).select("doc", "__odoc")
+    cands = (
+        cross.unionByName(within)
+        .filter(F.col("doc") != F.col("__odoc"))
+        .select(
+            F.least("doc", "__odoc").alias("doc_a"),
+            F.greatest("doc", "__odoc").alias("doc_b"),
+        )
+        .distinct()
+    )
+    return candidate_jaccard(cands, index_sh.unionByName(new_sh), threshold)
+
+
+class MinHashCorpusIndex:
+    """Snapshot-backed MinHash-LSH dedup index.
+
+    Two SnapshotTables: ``buckets`` (doc, band, bkey — the LSH join
+    keys, 3 longs/band/doc) and ``shingles`` (doc, shingle — the exact-
+    verify material).  ``dedup_batch`` joins a new batch against the
+    CURRENT snapshots; ``append`` fast-appends the batch's own rows
+    (O(batch) bytes — prior index files are never rewritten, same
+    delta-segment discipline as the URL seen-state), so the index
+    grows with the corpus while every round's cost stays O(batch +
+    collisions).  Time travel and resume come from the snapshot
+    manifests for free.
+    """
+
+    def __init__(
+        self,
+        buckets_table,
+        shingles_table,
+        n: int = 3,
+        k: int = 64,
+        bands: int = 32,
+        rows: int = 2,
+    ) -> None:
+        self.buckets, self.shingles = buckets_table, shingles_table
+        self.n, self.k, self.bands, self.rows = n, k, bands, rows
+
+    def _prep(self, docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+        return shingles(docs, id_col, text_col, self.n)
+
+    def bootstrap(self, docs: DataFrame, id_col: str, text_col: str) -> None:
+        """Index an initial corpus (full commit, snapshot 1)."""
+        sh = self._prep(docs, id_col, text_col)
+        self.shingles.commit(sh, {"op": "bootstrap"})
+        self.buckets.commit(
+            band_buckets(minhash_signatures(sh, self.k), self.bands, self.rows),
+            {"op": "bootstrap"},
+        )
+
+    def dedup_batch(
+        self, docs: DataFrame, id_col: str, text_col: str, threshold: float = 0.8
+    ) -> DataFrame:
+        return incremental_dedup_pairs(
+            self._prep(docs, id_col, text_col),
+            self.shingles.read(),
+            self.buckets.read(),
+            self.k,
+            self.bands,
+            self.rows,
+            threshold,
+        )
+
+    def append(self, docs: DataFrame, id_col: str, text_col: str) -> None:
+        """Fast-append the batch's rows; prior files untouched."""
+        sh = self._prep(docs, id_col, text_col)
+        self.shingles.commit_append(sh, {"op": "append"})
+        self.buckets.commit_append(
+            band_buckets(minhash_signatures(sh, self.k), self.bands, self.rows),
+            {"op": "append"},
+        )
