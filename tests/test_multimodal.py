@@ -43,3 +43,72 @@ def test_real_decode_is_stubbed():
 
     with pytest.raises(NotImplementedError):
         _decode_image_real(b"\x89PNG")
+
+
+def test_bmp_and_wav_roundtrip():
+    import numpy as np
+
+    from tripwire_spark.operators.multimodal import (
+        decode_bmp,
+        decode_wav,
+        encode_bmp,
+        encode_wav,
+    )
+
+    # BMP: odd width exercises 4-byte row padding
+    arr = (np.arange(7 * 5 * 3).reshape(5, 7, 3) % 256).astype(np.uint8)
+    assert (decode_bmp(encode_bmp(arr)) == arr).all()
+    # WAV: int16 PCM
+    s = ((np.arange(999) * 77) % 4001 - 2000).astype(np.int16)
+    got, rate = decode_wav(encode_wav(s, 22050))
+    assert rate == 22050 and (got == s).all()
+
+
+def test_extract_media_stats_real_decode(spark):
+    import numpy as np
+
+    from tripwire_spark.operators.multimodal import (
+        decode_wav,
+        extract_media_stats,
+        synth_media_real,
+    )
+
+    m = synth_media_real(spark, 12)
+    stats = {r.media_id: r for r in extract_media_stats(m).collect()}
+    meta = {r.media_id: r for r in m.collect()}
+    assert len(stats) == 12
+    for i, r in stats.items():
+        if r.kind == "image":
+            assert r.fmt == "bmp"
+            assert (r.width, r.height) == (meta[i].width, meta[i].height)
+            assert 0.0 < r.mean_lum < 1.0 and r.rms is None
+        else:
+            assert r.fmt == "wav" and r.sample_rate == 16000
+            s, _ = decode_wav(bytes(meta[i].content))
+            assert r.n_samples == len(s)
+            assert abs(r.rms - round(float(np.sqrt(np.mean((s / 32768.0) ** 2))), 6)) < 1e-9
+
+
+def test_thumbnails_real_bmp_resize(spark):
+    from tripwire_spark.operators.multimodal import (
+        decode_bmp,
+        resize_thumbnails,
+        synth_media_real,
+    )
+
+    m = synth_media_real(spark, 12)
+    rows = {r.media_id: r for r in resize_thumbnails(m, max_side=4).collect()}
+    assert rows  # images only
+    for r in rows.values():
+        arr = decode_bmp(bytes(r.thumb))  # thumbs ARE decodable BMPs
+        assert arr.shape[:2] == (r.thumb_h, r.thumb_w)
+        assert max(r.thumb_w, r.thumb_h) <= 4
+
+
+def test_opaque_blobs_fall_back_not_fail(spark):
+    from tripwire_spark.operators.multimodal import extract_media_stats, synth_media
+
+    # synth_media blobs are sha2 bytes — undecodable; stats must come
+    # back 'opaque' with null metrics, never raise
+    out = extract_media_stats(synth_media(spark, 9)).collect()
+    assert len(out) == 9 and all(r.fmt == "opaque" and r.mean_lum is None for r in out)

@@ -3,10 +3,14 @@ typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 The Spark-side plumbing here is REAL and tested: schemas, partitioning,
 UDF signatures, batch shapes, and the deterministic fake feature
-extractor.  The actual codec calls (Pillow/librosa/ffmpeg) are NOT in
-this container, so the decode step is stubbed behind
-``_decode_image_real`` raising ``NotImplementedError`` — swap that one
-function when the libs exist; nothing else changes.
+extractor.  Decode is REAL for the container-decodable formats —
+24-bit uncompressed BMP (struct + numpy) and 16-bit PCM WAV (stdlib
+``wave``) round-trip byte-exactly, and ``extract_media_stats`` /
+``resize_thumbnails`` run real pixel/sample math over them.
+Compressed codecs (PNG/JPEG/MP3/H.264) need Pillow/librosa/ffmpeg,
+which are NOT in this container, so ``_decode_image_real`` raises
+``NotImplementedError`` for those magics — swap that one branch when
+the libs exist; nothing else changes.
 
 Pattern notes for 100 TB media tables:
 - media stays in its own table keyed by content hash; pipelines join
@@ -50,9 +54,154 @@ def synth_media(spark: SparkSession, n: int = 64) -> DataFrame:
     )
 
 
-def _decode_image_real(content: bytes):  # pragma: no cover - stub
-    """Real decode (Pillow) — library not present in this container."""
-    raise NotImplementedError("image codec not available; deterministic fake used instead")
+# --- real codecs for container-decodable formats ---------------------------
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """HxWx3 uint8 (RGB) -> 24-bit uncompressed BMP bytes (BI_RGB,
+    bottom-up rows, 4-byte row padding) — the on-disk format per the
+    public BITMAPFILEHEADER/BITMAPINFOHEADER layout."""
+    import struct
+
+    h, w, _ = arr.shape
+    pad = (-3 * w) % 4
+    img_size = (3 * w + pad) * h
+    head = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    rows = bytearray()
+    bgr = arr[:, :, ::-1]  # BMP stores BGR
+    for r in range(h - 1, -1, -1):  # bottom-up
+        rows += bgr[r].tobytes() + b"\x00" * pad
+    return head + info + bytes(rows)
+
+
+def decode_bmp(content: bytes) -> np.ndarray:
+    """24-bit BI_RGB BMP bytes -> HxWx3 uint8 (RGB)."""
+    import struct
+
+    if content[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (offset,) = struct.unpack_from("<I", content, 10)
+    _, w, h, _, bpp, comp = struct.unpack_from("<IiiHHI", content, 14)
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(f"BMP bpp={bpp} compression={comp} unsupported")
+    pad = (-3 * w) % 4
+    stride = 3 * w + pad
+    flip = h > 0
+    h = abs(h)
+    raw = np.frombuffer(content, dtype=np.uint8, count=stride * h, offset=offset)
+    rows = raw.reshape(h, stride)[:, : 3 * w].reshape(h, w, 3)
+    if flip:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """int16 mono samples -> PCM WAV bytes (stdlib wave)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(sample_rate)
+        f.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
+    """PCM WAV bytes -> (int16 mono samples, sample_rate)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(content), "rb") as f:
+        if f.getsampwidth() != 2 or f.getnchannels() != 1:
+            raise NotImplementedError("only 16-bit mono PCM supported")
+        return (
+            np.frombuffer(f.readframes(f.getnframes()), dtype="<i2"),
+            f.getframerate(),
+        )
+
+
+def _decode_image_real(content: bytes) -> np.ndarray:
+    """Decode an image blob to HxWx3 RGB.  BMP decodes here (pure
+    struct+numpy); compressed codecs (PNG/JPEG/...) need Pillow, which
+    is not in this container — those magics raise, and a deployment
+    with the libs swaps in the real call in this one branch."""
+    if content[:2] == b"BM":
+        return decode_bmp(content)
+    raise NotImplementedError("compressed image codec not available in this container")
+
+
+MEDIA_STATS_SCHEMA = (
+    "media_id long, kind string, fmt string, width int, height int, "
+    "n_samples long, sample_rate int, mean_lum double, rms double"
+)
+
+
+def synth_media_real(spark: SparkSession, n: int = 24) -> DataFrame:
+    """Deterministic REAL media blobs: even ids carry 24-bit BMP
+    gradient images, odd ids carry 16-bit PCM WAV integer ramps — both
+    decodable by this module's own pure-numpy/stdlib codecs.  A
+    driver-side fixture builder (like ``warc.write_warc``): fixtures
+    are small; production media arrives in its own table."""
+    rows = []
+    for i in range(n):
+        if i % 2 == 0:
+            w, h = 8 + (i % 5), 6 + (i % 4)
+            yy, xx = np.mgrid[0:h, 0:w]
+            arr = np.stack(
+                [
+                    (xx * 31 + i) % 256,
+                    (yy * 17 + 2 * i) % 256,
+                    ((xx + yy) * 7 + 3 * i) % 256,
+                ],
+                axis=-1,
+            ).astype(np.uint8)
+            rows.append((i, "image", bytearray(encode_bmp(arr)), w, h, None, None))
+        else:
+            ns = 1600 + 10 * i
+            t = np.arange(ns)
+            samples = ((t * 13 * (i + 1)) % 4001 - 2000).astype(np.int16)
+            rows.append(
+                (i, "audio", bytearray(encode_wav(samples, 16000)), None, None,
+                 16000, ns * 1000 // 16000)
+            )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def extract_media_stats(media: DataFrame) -> DataFrame:
+    """REAL decoded statistics per blob: BMP -> (width, height, mean
+    luminance), WAV -> (n_samples, sample_rate, RMS); anything this
+    container cannot decode comes back fmt='opaque' with null stats
+    instead of failing the batch.  Iterator-form mapInPandas: one Arrow
+    batch of blobs in memory per task."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("media_id", "kind", "fmt", "width", "height",
+                "n_samples", "sample_rate", "mean_lum", "rms")
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+            for mid, kind, c in zip(pdf["media_id"], pdf["kind"], pdf["content"]):
+                cb = bytes(c) if c is not None else b""
+                fmt, w, h, ns, sr, lum, rms = "opaque", None, None, None, None, None, None
+                try:
+                    if cb[:2] == b"BM":
+                        arr = decode_bmp(cb)
+                        fmt, h, w = "bmp", arr.shape[0], arr.shape[1]
+                        lum = round(float(arr.mean()) / 255.0, 6)
+                    elif cb[:4] == b"RIFF":
+                        s, sr = decode_wav(cb)
+                        fmt, ns = "wav", len(s)
+                        rms = round(float(np.sqrt(np.mean((s / 32768.0) ** 2))), 6)
+                except NotImplementedError:
+                    pass
+                for k, v in zip(cols, (mid, kind, fmt, w, h, ns, sr, lum, rms)):
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, MEDIA_STATS_SCHEMA)
 
 
 def _fake_feature(content: bytes, dim: int = 8) -> np.ndarray:
@@ -84,12 +233,13 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
 
 
 def resize_thumbnails(media: DataFrame, max_side: int = 16) -> DataFrame:
-    """Resize plumbing: output dims = aspect-preserving clamp; thumb
-    bytes from the deterministic fake (decode stubbed).
+    """Aspect-preserving thumbnails.  BMP blobs get a REAL resize
+    (nearest-neighbor index grid over the decoded array, re-encoded as
+    BMP); blobs this container cannot decode fall back to the
+    deterministic fake bytes so the pipeline never dies on a codec gap.
 
     Dimension math is vectorized numpy over the whole Arrow batch; the
-    only per-element Python is the per-blob fake-thumb bytes (a real
-    codec call would be per-blob anyway)."""
+    per-blob python is the decode/encode a real codec needs anyway."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -98,10 +248,19 @@ def resize_thumbnails(media: DataFrame, max_side: int = 16) -> DataFrame:
             scale = max_side / np.maximum(w, h)
             tw = np.maximum(1, (w * scale).astype(np.int64))
             th = np.maximum(1, (h * scale).astype(np.int64))
-            thumbs = [
-                (_fake_feature(c, 4) * 255).astype(np.uint8).tobytes()
-                for c in pdf["content"]
-            ]
+            thumbs = []
+            for c, tw_i, th_i in zip(pdf["content"], tw, th):
+                cb = bytes(c) if c is not None else b""
+                if cb[:2] == b"BM":
+                    try:
+                        arr = decode_bmp(cb)
+                        ridx = (np.arange(th_i) * arr.shape[0] / th_i).astype(np.int64)
+                        cidx = (np.arange(tw_i) * arr.shape[1] / tw_i).astype(np.int64)
+                        thumbs.append(encode_bmp(arr[ridx][:, cidx]))
+                        continue
+                    except NotImplementedError:
+                        pass
+                thumbs.append((_fake_feature(cb, 4) * 255).astype(np.uint8).tobytes())
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
