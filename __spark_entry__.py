@@ -560,6 +560,29 @@ def q_dsir_importance(spark: SparkSession, sf: str) -> DataFrame:
     return dsir_importance(d, F.col("lang") == "en", "doc_id", "text", buckets=4096)
 
 
+def q_url_traps(spark: SparkSession, sf: str) -> DataFrame:
+    # Dynamic crawl-trap detection: per-(host, URL-shape) explosion
+    # counts — calendar/session/facet URLs collapse to one shape
+    from tripwire_spark.operators.frontier import detect_url_traps
+
+    e = _t(spark, sf, "events")
+    url = F.when(
+        F.pmod(F.col("event_id"), F.lit(2)) == 0,
+        F.format_string(
+            "http://trap%02d.test/cal/2026/%d?session=%d",
+            F.pmod(F.col("user_id"), F.lit(3)).cast("int"),
+            F.col("event_id"),
+            F.col("event_id") * 7,
+        ),
+    ).otherwise(
+        F.format_string(
+            "http://site%02d.test/about/team",
+            F.pmod(F.col("user_id"), F.lit(40)).cast("int"),
+        )
+    )
+    return detect_url_traps(e.select(url.alias("url")), limit=200)
+
+
 def q_host_rank(spark: SparkSession, sf: str) -> DataFrame:
     # Integer-exact PageRank (3 iterations, damping 85%) over a host
     # graph derived deterministically from events — the frontier
@@ -1680,6 +1703,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_mixture": q_domain_mixture,
     "dsir_importance": q_dsir_importance,
     "host_rank": q_host_rank,
+    "url_traps": q_url_traps,
     "ip4_algebra": q_ip4_algebra,
     "keyword_count": q_keyword_count,
     "fill_pct": q_fill_pct,
@@ -2206,6 +2230,32 @@ ORACLES.update(
                    CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
                    coalesce(round(p.s / 1000000.0 / p.n_grams, 6), 0.0) AS dsir_score
             FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        """,
+        "url_traps": """
+            WITH u AS (
+              SELECT CASE WHEN event_id % 2 = 0
+                          THEN printf('http://trap%02d.test/cal/2026/%d?session=%d',
+                                      CAST(user_id % 3 AS INT), event_id, event_id * 7)
+                          ELSE printf('http://site%02d.test/about/team',
+                                      CAST(user_id % 40 AS INT)) END AS url
+              FROM events),
+            parts AS (
+              SELECT lower(regexp_extract(url, '^[a-z][a-z0-9+.\\-]*://([^/?#]+)', 1)) AS host,
+                     regexp_extract(url, '^[a-z][a-z0-9+.\\-]*://[^/?#]+([^?#]*)', 1) AS path,
+                     regexp_extract(url, '\\?([^#]*)', 1) AS query
+              FROM u),
+            sh AS (
+              SELECT host,
+                     regexp_replace(regexp_replace(path, '[0-9a-f]{8,}', 'H', 'g'),
+                                    '[0-9]+', 'N', 'g')
+                     || '?' ||
+                     CASE WHEN query <> ''
+                          THEN array_to_string(list_sort(list_transform(
+                                 string_split(query, '&'), kv -> string_split(kv, '=')[1])), ',')
+                          ELSE '' END AS shape
+              FROM parts)
+            SELECT host, shape, count(*) AS n_urls, count(*) > 200 AS is_trap
+            FROM sh GROUP BY host, shape
         """,
         "host_rank": """
             WITH e AS (

@@ -245,3 +245,39 @@ def test_long_crawl_bounded_lineage(spark):
     assert state.fetch_log.count() == 20 * n_hosts
     state.release()
     pages.unpersist()
+
+
+def test_url_trap_detection_and_filter(spark):
+    """A calendar-shape explosion on one host is flagged and trimmed to
+    `keep` URLs; distinct-shape pages and other hosts pass untouched."""
+    import pyspark.sql.functions as F
+
+    from tripwire_spark.operators.frontier import detect_url_traps, filter_url_traps
+
+    trap = spark.range(300).select(
+        F.format_string("http://a.test/cal/2026/%d?session=%d", "id", "id").alias("url")
+    )
+    ok = spark.createDataFrame(
+        [("http://a.test/about",), ("http://a.test/contact",), ("http://b.test/cal/2026/1?session=9",)],
+        "url string",
+    )
+    urls = trap.unionByName(ok)
+
+    shapes = {(r.host, r.shape): r for r in detect_url_traps(urls, limit=100).collect()}
+    assert shapes[("a.test", "/cal/N/N?session")].is_trap
+    assert shapes[("a.test", "/cal/N/N?session")].n_urls == 300
+    assert not shapes[("b.test", "/cal/N/N?session")].is_trap  # same shape, other host
+    assert not shapes[("a.test", "/about?")].is_trap
+
+    kept = filter_url_traps(urls, limit=100, keep=5).collect()
+    by_host = {}
+    for r in kept:
+        by_host.setdefault(r.url.split("/")[2], []).append(r.url)
+    assert len([u for u in by_host["a.test"] if "/cal/" in u]) == 5  # trimmed
+    assert "http://a.test/about" in by_host["a.test"]  # untouched
+    assert by_host["b.test"] == ["http://b.test/cal/2026/1?session=9"]
+
+    # deterministic across partitionings (keep = first K by url asc)
+    a = sorted(r.url for r in filter_url_traps(urls.repartition(1), limit=100, keep=5).collect())
+    b = sorted(r.url for r in filter_url_traps(urls.repartition(13), limit=100, keep=5).collect())
+    assert a == b

@@ -237,3 +237,79 @@ def settle(
     if new_urls is not None:
         merged = merged.unionByName(new_urls.select(*FRONTIER_COLS))
     return merged
+
+
+# --- dynamic URL-trap detection --------------------------------------------
+
+
+def url_shape(url: Column) -> Column:
+    """Structural shape of a URL for trap detection: the path with long
+    hex runs collapsed to 'H' and digit runs to 'N', plus the SORTED
+    query parameter NAMES (values dropped) — calendar pages, session
+    ids, and faceted-search explosions all collapse to one shape while
+    legitimately distinct pages keep distinct shapes.
+
+    Complements the static reference blacklist (F1,
+    deployed/url_pattern_blacklist): that kills KNOWN trap patterns;
+    this detects a host's own explosion dynamically.  regexp-only
+    extraction (no parse_url) so the ANSI-SQL twin is exact.
+    """
+    path = F.regexp_extract(url, r"^[a-z][a-z0-9+.\-]*://[^/?#]+([^?#]*)", 1)
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    pshape = F.regexp_replace(
+        F.regexp_replace(path, r"[0-9a-f]{8,}", "H"), r"[0-9]+", "N"
+    )
+    params = F.when(
+        query != "",
+        F.concat_ws(
+            ",",
+            F.array_sort(
+                F.transform(F.split(query, "&"), lambda kv: F.split(kv, "=")[0])
+            ),
+        ),
+    ).otherwise(F.lit(""))
+    return F.concat(pshape, F.lit("?"), params)
+
+
+def _trap_host(url: Column) -> Column:
+    return F.lower(F.regexp_extract(url, r"^[a-z][a-z0-9+.\-]*://([^/?#]+)", 1))
+
+
+def detect_url_traps(urls: DataFrame, url_col: str = "url", limit: int = 200) -> DataFrame:
+    """Per-(host, shape) URL counts with trap verdicts: a shape holding
+    more than ``limit`` URLs on one host is a crawl trap.  One
+    partial-agg groupBy over (host, shape) — shapes are short strings,
+    bodies never move; at 100 TB this is a scan-side projection plus a
+    count shuffle of ~100 B/row."""
+    u = F.col(url_col)
+    return (
+        urls.select(_trap_host(u).alias("host"), url_shape(u).alias("shape"))
+        .groupBy("host", "shape")
+        .agg(F.count(F.lit(1)).alias("n_urls"))
+        .withColumn("is_trap", F.col("n_urls") > limit)
+    )
+
+
+def filter_url_traps(
+    urls: DataFrame, url_col: str = "url", limit: int = 200, keep: int = 5
+) -> DataFrame:
+    """Drop trap URLs before they enter the frontier: shapes over
+    ``limit`` per host are trimmed to their first ``keep`` URLs (url
+    ascending — deterministic across cluster sizes); everything else
+    passes untouched.  One window over (host, shape) — same skew
+    posture as politeness ranking: a shape is at most one host's
+    explosion, and the window ships only (host, shape, url)."""
+    from pyspark.sql import Window
+
+    u = F.col(url_col)
+    w = Window.partitionBy("__th", "__ts")
+    flagged = (
+        urls.withColumn("__th", _trap_host(u))
+        .withColumn("__ts", url_shape(u))
+        .withColumn("__rn", F.row_number().over(w.orderBy(u)))
+        .withColumn("__n", F.count(F.lit(1)).over(w))
+    )
+    return (
+        flagged.filter((F.col("__n") <= limit) | (F.col("__rn") <= keep))
+        .drop("__th", "__ts", "__rn", "__n")
+    )
