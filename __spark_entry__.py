@@ -560,6 +560,14 @@ def q_dsir_importance(spark: SparkSession, sf: str) -> DataFrame:
     return dsir_importance(d, F.col("lang") == "en", "doc_id", "text", buckets=4096)
 
 
+def q_curation_verdicts(spark: SparkSession, sf: str) -> DataFrame:
+    # End-to-end curation decision per doc: quality -> repetition ->
+    # language -> exact-dup keep-first (first failed gate = verdict)
+    from tripwire_spark.operators.textstats import curation_verdicts
+
+    return curation_verdicts(_t(spark, sf, "documents"), "doc_id", "text", langs=("en",))
+
+
 def q_url_traps(spark: SparkSession, sf: str) -> DataFrame:
     # Dynamic crawl-trap detection: per-(host, URL-shape) explosion
     # counts — calendar/session/facet URLs collapse to one shape
@@ -1703,6 +1711,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_mixture": q_domain_mixture,
     "dsir_importance": q_dsir_importance,
     "host_rank": q_host_rank,
+    "curation_verdicts": q_curation_verdicts,
     "url_traps": q_url_traps,
     "ip4_algebra": q_ip4_algebra,
     "keyword_count": q_keyword_count,
@@ -2230,6 +2239,52 @@ ORACLES.update(
                    CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
                    coalesce(round(p.s / 1000000.0 / p.n_grams, 6), 0.0) AS dsir_score
             FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        """,
+        "curation_verdicts": f"""
+            WITH toks AS (
+              SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents),
+            feat AS (
+              SELECT doc_id, text, t,
+                     CAST(len(t) AS BIGINT) AS n_tokens,
+                     (length(trim(text)) - (len(t) - 1)) / CAST(len(t) AS DOUBLE) AS mtl,
+                     {_LANG_HITS},
+                     list_filter(string_split(text, chr(10)), l -> length(trim(l)) > 0) AS ls,
+                     CASE WHEN len(t) >= 2
+                          THEN list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])
+                          ELSE [] END AS g,
+                     md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+              FROM toks),
+            feat2 AS (
+              SELECT doc_id, n_tokens, mtl, fp,
+                     CASE WHEN de_hits >= en_hits AND de_hits >= es_hits AND de_hits >= fr_hits AND de_hits > 0 THEN 'de'
+                          WHEN en_hits >= es_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+                          WHEN es_hits >= fr_hits AND es_hits > 0 THEN 'es'
+                          WHEN fr_hits > 0 THEN 'fr'
+                          ELSE 'und' END AS pred_lang,
+                     CASE WHEN len(ls) > 0
+                          THEN (len(ls) - len(list_distinct(ls))) / CAST(len(ls) AS DOUBLE)
+                          ELSE 0.0 END AS dlf,
+                     CASE WHEN len(g) > 0
+                          THEN (len(g) - len(list_distinct(g))) / CAST(len(g) AS DOUBLE)
+                          ELSE 0.0 END AS d2f,
+                     CASE WHEN len(g) > 0
+                          THEN list_max(list_transform(list_distinct(g),
+                                 x -> len(list_filter(g, y -> y = x)))) / CAST(len(g) AS DOUBLE)
+                          ELSE 0.0 END AS t2f,
+                     row_number() OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                                        ORDER BY doc_id) AS rn
+              FROM feat),
+            v AS (
+              SELECT doc_id, pred_lang, n_tokens,
+                     CASE WHEN NOT (n_tokens >= 20 AND n_tokens <= 100000 AND mtl >= 2 AND mtl <= 12)
+                          THEN 'quality'
+                          WHEN NOT (dlf <= 0.30 AND d2f <= 0.60 AND t2f <= 0.20)
+                          THEN 'repetition'
+                          WHEN pred_lang <> 'en' THEN 'language'
+                          WHEN rn > 1 THEN 'duplicate'
+                          ELSE 'keep' END AS verdict
+              FROM feat2)
+            SELECT doc_id, pred_lang, n_tokens, verdict, verdict = 'keep' AS keep FROM v
         """,
         "url_traps": """
             WITH u AS (

@@ -281,3 +281,31 @@ def test_url_trap_detection_and_filter(spark):
     a = sorted(r.url for r in filter_url_traps(urls.repartition(1), limit=100, keep=5).collect())
     b = sorted(r.url for r in filter_url_traps(urls.repartition(13), limit=100, keep=5).collect())
     assert a == b
+
+
+def test_crawl_trap_limit_caps_shape_explosions(spark):
+    """run_crawl(trap_limit=...) keeps a per-(host, shape) explosion out
+    of the frontier: discoveries of one shape are capped at trap_keep
+    while the default run admits them all."""
+    from tripwire_spark.operators.crawl import run_crawl
+    from tripwire_spark.sources.synth import BLACKLIST_PATTERNS, synth_pages
+
+    import pyspark.sql.functions as F
+
+    n_hosts = 6
+    pages = synth_pages(spark, n_hosts=n_hosts, n_pages=4, n_links=12, n_words=60)
+    seeds = spark.range(n_hosts).select(
+        (F.col("id") + 1).cast("int").alias("alexa"),
+        F.format_string("site%04d.test/p1", F.col("id")).alias("url"),
+        F.col("id").alias("file_order"),
+    )
+    base = run_crawl(spark, seeds, pages, None, BLACKLIST_PATTERNS,
+                     max_rounds=1, default_budget=6)
+    capped = run_crawl(spark, seeds, pages, None, BLACKLIST_PATTERNS,
+                       max_rounds=1, default_budget=6, trap_limit=3)
+    n_base, n_capped = base.frontier.count(), capped.frontier.count()
+    assert n_capped < n_base  # synth link shapes repeat per host -> trimmed
+    # every admitted row is still a valid frontier row
+    assert capped.frontier.filter("url IS NULL OR host IS NULL").count() == 0
+    base.release()
+    capped.release()

@@ -79,3 +79,29 @@ def test_dsir_deterministic_across_partitionings(spark):
     a = dsir_importance(d.repartition(1), F.col("lang") == "en").collect()
     b = dsir_importance(d.repartition(7), F.col("lang") == "en").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_curation_verdicts_precedence_and_dedup(spark):
+    """First failed gate wins: quality beats repetition beats language
+    beats duplicate; exact dups keep the lowest id."""
+    from tripwire_spark.operators.textstats import curation_verdicts
+
+    good = ("the quick brown fox jumps over a lazy dog and it runs to "
+            "the old stone bridge of this quiet town in early morning light")
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, good),                      # exact dup of 1 -> 'duplicate'
+            (3, "tiny doc"),                # < 20 tokens -> 'quality'
+            (4, ("der alte mann und die junge frau gehen mit ein kleines kind "
+                 "durch das stille dorf es ist nicht weit ich sehe du kommst heute")),
+            (5, "spam " * 40),              # one token repeated -> repetition? mtl/token gates?
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in curation_verdicts(docs, langs=("en",)).collect()}
+    assert out[1].verdict == "keep" and out[1].keep
+    assert out[2].verdict == "duplicate" and not out[2].keep
+    assert out[3].verdict == "quality"
+    assert out[4].verdict == "language" and out[4].pred_lang == "de"
+    assert out[5].verdict == "repetition"  # dup-2gram fraction ~1

@@ -126,6 +126,8 @@ def discover(
     state: DataFrame | None = None,
     caches: list | None = None,
     clicked: DataFrame | None = None,
+    trap_limit: int | None = None,
+    trap_keep: int = 5,
 ) -> tuple[DataFrame, DataFrame, DataFrame | None, DataFrame]:
     """Score, filter, canonicalize, dedup, and seen-filter new links.
 
@@ -187,6 +189,17 @@ def discover(
         .filter(F.col("weight") >= 0)
         .filter(F.col("__clicked").isNull())
     )
+    if trap_limit is not None:
+        # Dynamic trap gate (opt-in): per-(host, shape) explosions are
+        # trimmed to their first trap_keep urls BEFORE the seen-state
+        # admit, so a calendar trap never floods the frontier.  One
+        # extra (host, shape) window per round when enabled; trap trims
+        # are not rows in the decision log (they never became
+        # candidates of record — same posture as the static blacklist
+        # applied at seed ingest).
+        from tripwire_spark.operators.frontier import filter_url_traps
+
+        kept = filter_url_traps(kept, "curl", limit=trap_limit, keep=trap_keep)
     state_delta = None
     if seen_state is not None and state is not None:
         from tripwire_spark.operators.seen import SeenState
@@ -316,6 +329,7 @@ def run_crawl(
     track_clicked: bool = True,
     identities: DataFrame | None = None,
     compact_every: int = 8,
+    trap_limit: int | None = None,
 ) -> CrawlState:
     """The full crawl loop; one snapshot commit per round when
     ``checkpoint_dir`` is given; ``resume=True`` continues from the
@@ -497,7 +511,7 @@ def run_crawl(
         new_rows, link_decisions, state_delta, _admit_ck = discover(
             links, seen, patterns, round_no=r, vid=vid,
             seen_state=seen_svc, state=seen_state_df, caches=round_caches,
-            clicked=clicked if d2_nonempty else None,
+            clicked=clicked if d2_nonempty else None, trap_limit=trap_limit,
         )
         # (D2 fold happens at CLAIM time above — _admit_ck, the admitted
         # links' ck rows, is for standalone discover() callers only.)

@@ -151,3 +151,52 @@ def rolling_fingerprint(text: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, t: (acc * ROLLING_MULT + token_value(t)) % ROLLING_MOD,
     )
+
+
+def curation_verdicts(docs, id_col: str = "doc_id", text_col: str = "text",
+                      langs: tuple[str, ...] = ("en",)):
+    """The end-to-end curation decision per document — the gates above
+    composed in the order a production corpus pass applies them:
+
+        quality -> repetition -> language -> exact-dup keep-first
+
+    Each doc gets the FIRST gate it fails as its verdict ('quality',
+    'repetition', 'language', 'duplicate') or 'keep'.  Duplicate =
+    non-first doc (by id) of an md5 content fingerprint, so re-running
+    at any cluster size keeps the same survivor.
+
+    Plan shape: every gate is a scan-side column expression; the only
+    exchange is the fingerprint window (16-byte key).  At 100 TB this
+    is one pass over text plus one hash shuffle — the pipeline
+    `stratified_sample` / `pack_shards` then consume.
+    """
+    from pyspark.sql import DataFrame, Window  # noqa: F401
+
+    from pyspark.sql import functions as F
+
+    q = quality_features(F.col(text_col))
+    rep = repetition_features(F.col(text_col))
+    base = docs.select(
+        F.col(id_col),
+        q["n_tokens"].alias("n_tokens"),
+        q["keep"].alias("__q"),
+        rep["keep"].alias("__r"),
+        lang_id(tokens(F.col(text_col))).alias("pred_lang"),
+        fingerprint_md5(F.col(text_col)).alias("__fp"),
+    )
+    w = Window.partitionBy("__fp").orderBy(id_col)
+    v = base.withColumn("__rn", F.row_number().over(w))
+    verdict = (
+        F.when(~F.col("__q"), F.lit("quality"))
+        .when(~F.col("__r"), F.lit("repetition"))
+        .when(~F.col("pred_lang").isin(*langs), F.lit("language"))
+        .when(F.col("__rn") > 1, F.lit("duplicate"))
+        .otherwise(F.lit("keep"))
+    )
+    return v.select(
+        id_col,
+        "pred_lang",
+        "n_tokens",
+        verdict.alias("verdict"),
+        (verdict == "keep").alias("keep"),
+    )
