@@ -50,6 +50,9 @@ def main() -> int:
     ap.add_argument("--budget", type=int, default=3)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--backpressure", action="store_true")
+    ap.add_argument("--trap-limit", type=int, default=None,
+                    help="cap per-(host, URL-shape) discoveries at this count "
+                         "(dynamic crawl-trap gate; off by default)")
     ap.add_argument("--synth-hosts", type=int, default=0,
                     help="generate N synthetic hosts instead of --pages/--seeds")
     args = ap.parse_args()
@@ -95,7 +98,7 @@ def main() -> int:
         spark, seeds, pages, robots, BLACKLIST_PATTERNS,
         max_rounds=args.rounds, default_budget=args.budget,
         checkpoint_dir=args.checkpoint_dir, resume=args.resume,
-        backpressure=args.backpressure,
+        backpressure=args.backpressure, trap_limit=args.trap_limit,
     )
     n = state.frontier.count()
     print(f"crawl complete: rounds={state.rounds_run} frontier_urls={n}")
