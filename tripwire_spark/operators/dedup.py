@@ -508,6 +508,10 @@ def incremental_dedup_pairs(
     to how much of it collides with the batch, never in full.  Output
     = verified exact-Jaccard pairs (doc_a < doc_b), so recall follows
     the banding bound (1-(1-t^r)^b) and false positives never escape.
+
+    Precondition: doc ids are globally unique across index and batch
+    (re-ingesting an id would double-count its shingles in the verify
+    union) — the same contract every keyed table in this engine keeps.
     """
     new_sigs = minhash_signatures(new_sh, k)
     new_buckets = band_buckets(new_sigs, bands, rows)
