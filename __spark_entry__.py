@@ -560,6 +560,16 @@ def q_dsir_importance(spark: SparkSession, sf: str) -> DataFrame:
     return dsir_importance(d, F.col("lang") == "en", "doc_id", "text", buckets=4096)
 
 
+def q_mixture_sample(spark: SparkSession, sf: str) -> DataFrame:
+    # Composition: temperature weights -> per-domain keep fractions ->
+    # deterministic md5 sampling of a 30% corpus budget
+    from tripwire_spark.operators.weighting import mixture_sample
+
+    return mixture_sample(
+        _t(spark, sf, "documents"), "source", "text", "doc_id", alpha=0.5, budget_frac=0.3
+    ).select("doc_id", "source", "lang", "n_chars")
+
+
 def q_curation_verdicts(spark: SparkSession, sf: str) -> DataFrame:
     # End-to-end curation decision per doc: quality -> repetition ->
     # language -> exact-dup keep-first (first failed gate = verdict)
@@ -1711,6 +1721,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_mixture": q_domain_mixture,
     "dsir_importance": q_dsir_importance,
     "host_rank": q_host_rank,
+    "mixture_sample": q_mixture_sample,
     "curation_verdicts": q_curation_verdicts,
     "url_traps": q_url_traps,
     "ip4_algebra": q_ip4_algebra,
@@ -2239,6 +2250,25 @@ ORACLES.update(
                    CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
                    coalesce(round(p.s / 1000000.0 / p.n_grams, 6), 0.0) AS dsir_score
             FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        """,
+        "mixture_sample": """
+            WITH toks AS (
+              SELECT source, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents),
+            per AS (
+              SELECT source, count(*) AS n_docs,
+                     CAST(sum(len(list_filter(t, x -> x <> ''))) AS BIGINT) AS n_tokens
+              FROM toks GROUP BY source),
+            r AS (SELECT *, round(power(CAST(n_tokens AS DOUBLE), 0.5), 6) AS raw6 FROM per),
+            tot AS (SELECT sum(CAST(round(raw6 * 1000000.0, 0) AS BIGINT)) AS tot_micro FROM r),
+            mix AS (SELECT source, n_docs,
+                           round(raw6 * 1000000.0 / tot_micro, 6) AS weight
+                    FROM r, tot),
+            n AS (SELECT count(*) AS n FROM documents),
+            frac AS (SELECT source, least(1.0, 0.3 * weight * n.n / n_docs) AS f FROM mix, n)
+            SELECT d.doc_id, d.source, d.lang, d.n_chars
+            FROM documents d JOIN frac USING (source)
+            WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000
+                  < CAST(floor(f * 10000) AS BIGINT)
         """,
         "curation_verdicts": f"""
             WITH toks AS (

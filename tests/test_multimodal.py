@@ -112,3 +112,26 @@ def test_opaque_blobs_fall_back_not_fail(spark):
     # back 'opaque' with null metrics, never raise
     out = extract_media_stats(synth_media(spark, 9)).collect()
     assert len(out) == 9 and all(r.fmt == "opaque" and r.mean_lum is None for r in out)
+
+
+def test_bmp_roundtrip_fuzz():
+    """Property: decode(encode(x)) == x for arbitrary dims/content —
+    including widths whose 3-byte rows need every padding (0-3 bytes)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from tripwire_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=37),
+        h=st.integers(min_value=1, max_value=23),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def roundtrip(w, h, seed):
+        rng = np.random.RandomState(seed)
+        arr = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert (decode_bmp(encode_bmp(arr)) == arr).all()
+
+    roundtrip()

@@ -105,3 +105,20 @@ def test_curation_verdicts_precedence_and_dedup(spark):
     assert out[3].verdict == "quality"
     assert out[4].verdict == "language" and out[4].pred_lang == "de"
     assert out[5].verdict == "repetition"  # dup-2gram fraction ~1
+
+
+def test_mixture_sample_budget_and_determinism(spark):
+    from tripwire_spark.operators.weighting import mixture_sample
+
+    rows = [(i, "tok " * 50, "en", "big" if i < 400 else "small") for i in range(500)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    got = mixture_sample(docs, budget_frac=0.3).collect()
+    n = len(got)
+    assert 0.2 * 500 < n < 0.45 * 500  # ~30% of the corpus (md5 binomial spread)
+    # temperature up-weights the small domain relative to its size
+    frac_small = len([r for r in got if r.source == "small"]) / 100
+    frac_big = len([r for r in got if r.source == "big"]) / 400
+    assert frac_small > frac_big
+    # byte-identical at any partitioning
+    again = mixture_sample(docs.repartition(11), budget_frac=0.3).collect()
+    assert sorted(r.doc_id for r in again) == sorted(r.doc_id for r in got)

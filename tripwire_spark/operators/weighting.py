@@ -234,3 +234,41 @@ def dsir_importance(
             F.coalesce("dsir_score", F.lit(0.0)).alias("dsir_score"),
         )
     )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    budget_frac: float = 0.3,
+) -> DataFrame:
+    """Materialize a mixed corpus: temperature weights -> per-domain
+    keep fractions -> deterministic md5 sampling, in one composition.
+
+    Domain g's fraction is min(1, budget_frac * weight(g) * N / n_g) —
+    the sample targets ``budget_frac`` of the corpus distributed by the
+    temperature weights, clamped when a small domain cannot supply its
+    share.  The keep decision is the same md5 projection
+    ``stratified_sample`` uses, so re-runs at any cluster size emit the
+    byte-identical corpus.  The weights table is a <=|domains|-row
+    broadcast; the corpus side stays a scan + filter (no shuffle of
+    docs at all).
+    """
+    mix = domain_mixture(docs, group_col, text_col, alpha)
+    n1 = docs.select(F.count(F.lit(1)).alias("__n"))
+    frac = mix.crossJoin(F.broadcast(n1)).select(
+        group_col,
+        F.least(
+            F.lit(1.0),
+            F.lit(budget_frac) * F.col("weight") * F.col("__n") / F.col("n_docs"),
+        ).alias("__frac"),
+    )
+    # explicit floor: DuckDB's double->bigint CAST rounds while Spark's
+    # truncates — floor() first makes the threshold engine-identical
+    return (
+        docs.join(F.broadcast(frac), group_col)
+        .filter(md5_bucket(id_col) < F.floor(F.col("__frac") * 10000))
+        .drop("__frac")
+    )
