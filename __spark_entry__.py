@@ -1416,6 +1416,47 @@ def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
+    # fastText/CCNet-style hashed log-odds classifier: train on the
+    # corpus with lang=='en' as the label proxy, score every document
+    from tripwire_spark.operators.classifier import classifier_score, train_log_odds
+
+    d = _t(spark, sf, "documents")
+    w = train_log_odds(d, F.col("lang") == "en", "text", buckets=4096)
+    return classifier_score(d, w, "doc_id", "text", buckets=4096, carry=["lang"])
+
+
+def q_surt_key(spark: SparkSession, sf: str) -> DataFrame:
+    # SURT / CDX index key over synthesized quirky URLs (mixed case,
+    # www. prefixes, unsorted query params); the oracle reconstructs
+    # the expected key closed-form
+    from tripwire_spark.functions.urls import surt
+
+    k = F.col("c_custkey")
+    raw = F.concat(
+        F.lit("HTTP://"),
+        F.when(k % 2 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("Site"),
+        k,
+        F.lit(".Test/p"),
+        F.pmod(k, F.lit(7)),
+        F.when(F.pmod(k, F.lit(3)) == 0, F.lit("?b=2&a=1"))
+        .when(F.pmod(k, F.lit(3)) == 1, F.lit("?a=1"))
+        .otherwise(F.lit("")),
+    )
+    return _t(spark, sf, "customer").select(k.alias("custkey"), surt(raw).alias("surt_key"))
+
+
+def q_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
+    # Context-window prep: overlapping 32-token chunks at stride 24,
+    # trailing chunks under 8 tokens dropped
+    from tripwire_spark.operators.packing import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf, "documents"), window=32, stride=24, min_tokens=8
+    )
+
+
 def q_seen_admit(spark: SparkSession, sf: str) -> DataFrame:
     # F2/D7 as the crawl actually runs them: SeenState.init on a round-1
     # url set, then SeenState.admit of a candidate batch with in-batch
@@ -1677,6 +1718,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clicked_text_hash": q_clicked_text_hash,
     "token_shard_pack": q_token_shard_pack,
     "stratified_sample": q_stratified_sample,
+    "chunk_documents": q_chunk_documents,
+    "surt_key": q_surt_key,
+    "quality_classifier": q_quality_classifier,
     "nested_anti_join": q_nested_anti_join,
     "select_payload": q_select_payload,
     "count_distinct": q_count_distinct,
@@ -2600,6 +2644,58 @@ ORACLES.update(
             WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000
                   < CAST((CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
                           WHEN 'zh' THEN 0.1 ELSE 0.0 END) * 10000 AS BIGINT)
+        """,
+        "quality_classifier": """
+            WITH ex AS (
+              SELECT doc_id, (lang = 'en') AS y,
+                     unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                            x -> x <> '')) AS tok
+              FROM documents),
+            b AS (
+              SELECT doc_id, y,
+                     ('0x' || substr(md5(tok), 1, 8))::BIGINT % 4096 AS bucket
+              FROM ex),
+            per AS (
+              SELECT bucket,
+                     sum(CASE WHEN y THEN 1 ELSE 0 END) AS pos_n,
+                     sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS neg_n
+              FROM b GROUP BY bucket),
+            tot AS (SELECT sum(pos_n) AS pt, sum(neg_n) AS nt FROM per),
+            w AS (
+              SELECT bucket,
+                     CAST(round((ln((pos_n + 1) / (pt + 4096.0))
+                               - ln((neg_n + 1) / (nt + 4096.0))) * 1000000.0, 0)
+                          AS BIGINT) AS w6
+              FROM per, tot),
+            sc AS (
+              SELECT b.doc_id, sum(coalesce(w.w6, 0)) AS s6, count(*) AS n_toks
+              FROM b LEFT JOIN w USING (bucket) GROUP BY b.doc_id)
+            SELECT d.doc_id, d.lang, coalesce(sc.n_toks, 0) AS n_toks,
+                   coalesce(round(sc.s6 / 1000000.0 / sc.n_toks, 6), 0.0) AS quality_score,
+                   coalesce(sc.s6, 0) > 0 AS keep
+            FROM documents d LEFT JOIN sc USING (doc_id)
+        """,
+        "surt_key": """
+            SELECT c_custkey AS custkey,
+                   'test,site' || c_custkey || ')/p' || (c_custkey % 7) ||
+                   (CASE c_custkey % 3 WHEN 0 THEN '?a=1&b=2'
+                         WHEN 1 THEN '?a=1' ELSE '' END) AS surt_key
+            FROM customer
+        """,
+        "chunk_documents": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                 x -> x <> '') AS t
+              FROM documents),
+            nz AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+            st AS (SELECT doc_id, t, unnest(range(0, n, 24)) AS g FROM nz),
+            s AS (SELECT doc_id, CAST(g // 24 AS BIGINT) AS chunk_id,
+                         list_slice(t, g + 1, g + 32) AS p
+                  FROM st)
+            SELECT doc_id, chunk_id, array_to_string(p, ' ') AS chunk_text,
+                   CAST(len(p) AS BIGINT) AS chunk_tokens
+            FROM s WHERE len(p) >= 8
         """,
         "clicked_text_memory": """
             WITH links AS (

@@ -71,6 +71,44 @@ def test_stratified_sample_deterministic_and_proportional(spark):
     assert "fr" not in got  # default_fraction=0 drops unlisted groups
 
 
+def test_chunk_documents_tiling_and_overlap(spark):
+    from tripwire_spark.operators.packing import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "a b"), (3, "   "), (4, "solo")],
+        "doc_id long, text string",
+    )
+    # stride == window tiles exactly; short tail kept when >= min_tokens
+    out = {
+        (r.doc_id, r.chunk_id): (r.chunk_text, r.chunk_tokens)
+        for r in chunk_documents(docs, window=4, min_tokens=1).collect()
+    }
+    assert out[(1, 0)] == ("t0 t1 t2 t3", 4)
+    assert out[(1, 1)] == ("t4 t5 t6 t7", 4)
+    assert out[(1, 2)] == ("t8 t9", 2)
+    assert out[(2, 0)] == ("a b", 2)
+    assert (3, 0) not in out  # whitespace-only doc yields nothing
+    assert out[(4, 0)] == ("solo", 1)
+
+    # overlapping stride: chunk k starts at k*stride, windows overlap
+    ov = {
+        r.chunk_id: r.chunk_text
+        for r in chunk_documents(
+            docs.filter("doc_id = 1"), window=4, stride=2, min_tokens=3
+        ).collect()
+    }
+    assert ov[0] == "t0 t1 t2 t3" and ov[1] == "t2 t3 t4 t5"
+    assert ov[3] == "t6 t7 t8 t9"
+    assert 4 not in ov  # 2-token tail dropped by min_tokens=3
+
+    # zero shuffles: chunking is a pure narrow projection
+    plan = (
+        chunk_documents(docs, window=4, stride=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
 def test_md5_bucket_range(spark):
     vals = [r.b for r in spark.range(300).select(md5_bucket("id").alias("b")).collect()]
     assert all(0 <= v < 10_000 for v in vals)

@@ -216,3 +216,44 @@ def test_resolve_absolute_shortcut_edge_cases(spark):
     for h in hrefs:
         want = canonicalize_url_py(urljoin(base, h))
         assert got[h] == want, (h, got[h], want)
+
+
+def test_surt_key_shapes(spark):
+    import pyspark.sql.functions as F
+
+    from tripwire_spark.functions.urls import surt
+
+    cases = {
+        # host reversed, www stripped, query sorted, fragment dropped
+        "http://WWW.News.Example.co.uk/a/b?x=2&a=1#f": "uk,co,example,news)/a/b?a=1&x=2",
+        # bare host -> ')/' root path; no query suffix
+        "https://Example.COM": "com,example)/",
+        # www only stripped when leading (www2 / inner www kept)
+        "http://www2.example.com/p": "com,example,www2)/p",
+        "http://a.www.example.com/p": "com,example,www,a)/p",
+        # single-param query unchanged; path case preserved
+        "http://x.test/CasePath?k=v": "test,x)/CasePath?k=v",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {r.url: r.s for r in df.select("url", surt("url").alias("s")).collect()}
+    for u, want in cases.items():
+        assert got[u] == want, (u, got[u], want)
+
+
+def test_surt_groups_domain_contiguously(spark):
+    """The point of SURT: all subdomains/pages of one registrable domain
+    sort into one contiguous key range."""
+    from tripwire_spark.functions.urls import surt
+
+    urls = [
+        "http://b.example.com/2",
+        "http://zzz.other.com/x",
+        "http://example.com/1",
+        "http://a.example.com/3",
+        "http://aaa.aardvark.com/y",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    keys = sorted(r.s for r in df.select(surt("url").alias("s")).collect())
+    ex = [k for k in keys if k.startswith("com,example")]
+    lo, hi = keys.index(ex[0]), keys.index(ex[-1])
+    assert hi - lo + 1 == len(ex) == 3  # contiguous block

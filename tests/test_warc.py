@@ -157,3 +157,35 @@ def test_stream_warc_exactly_once_across_runs(spark, tmp_path):
     assert sorted(map(tuple, got2.select(cols).collect())) == sorted(
         map(tuple, batch.select(cols).collect())
     )
+
+
+def test_build_cdx_index_global_order_and_range_plan(spark):
+    from tripwire_spark.sources.warc import build_cdx_index
+
+    rows = [
+        (f"http://site{i % 7}.test/p{i}", f"2026-01-{(i % 27) + 1:02d}T00:00:00Z",
+         f"<html>{i % 5}</html>")
+        for i in range(60)
+    ]
+    pages = spark.createDataFrame(rows, "url string, warc_ts string, html string")
+    idx = build_cdx_index(pages, shards=4)
+
+    # globally ordered: concatenating shards in partition order yields
+    # the fully sorted (surt_key, ts) sequence
+    parts = idx.rdd.glom().collect()
+    flat = [(r.surt_key, r.ts) for p in parts for r in p]
+    assert flat == sorted(flat)
+    assert sum(len(p) for p in parts) == 60
+
+    # the exchange is a range partitioning (no single-partition funnel)
+    plan = idx._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower(), plan
+    assert "SinglePartition" not in plan, plan
+
+    # digest is the md5 of the body: equal bodies share a digest
+    d = {(r.url, r.ts): r.digest for p in parts for r in p}
+    import hashlib
+    for (u, ts), dig in d.items():
+        i = int(u.rsplit("p", 1)[1])
+        want = hashlib.md5(f"<html>{i % 5}</html>".encode()).hexdigest()
+        assert dig == want

@@ -290,3 +290,39 @@ def url_scheme(col: Column | str) -> Column:
 def url_query(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.parse_url(c, F.lit("QUERY"))
+
+
+def surt(col: Column | str) -> Column:
+    """Sort-friendly URI Reordering Transform — the Common Crawl /
+    Internet Archive CDX index key (public SURT spec; pywb + the
+    crawler's own alexa seed ordering are the analogs): the lowercased
+    host minus one leading ``www.``, labels reversed and comma-joined,
+    then ``)`` + path, then ``?`` + lexicographically sorted query
+    parameters (fragment dropped).
+
+        http://WWW.News.Example.co.uk/a/b?x=2&a=1
+          -> uk,co,example,news)/a/b?a=1&x=2
+
+    Reversing the host puts every page of a registrable domain (and
+    every subdomain of it) in ONE contiguous key range, which is what
+    makes a petabyte CDX index range-partitionable by prefix: a
+    per-domain lookup is a partition-pruned range scan, not a full-index
+    filter.  Pure codegen'd string exprs — usable directly as a
+    repartitionByRange key.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    host = F.lower(F.parse_url(c, F.lit("HOST")))
+    host = F.regexp_replace(host, r"^www\.", "")
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    path = F.coalesce(F.parse_url(c, F.lit("PATH")), F.lit(""))
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.parse_url(c, F.lit("QUERY"))
+    qsorted = F.array_join(F.array_sort(F.split(query, "&")), "&")
+    return F.concat(
+        rev,
+        F.lit(")"),
+        path,
+        F.when(query.isNotNull() & (query != ""), F.concat(F.lit("?"), qsorted)).otherwise(
+            F.lit("")
+        ),
+    )

@@ -70,6 +70,57 @@ def stratified_sample(
     return docs.filter(md5_bucket(id_col) < (frac * 10_000).cast("bigint"))
 
 
+def chunk_documents(
+    docs: DataFrame,
+    window: int,
+    stride: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 1,
+) -> DataFrame:
+    """Split every document into fixed-size token windows for training
+    context preparation: chunk k covers tokens [k*stride, k*stride +
+    window).  ``stride < window`` gives overlapping chunks;
+    ``stride == window`` (default) tiles the document.
+
+    Returns (id, chunk_id, chunk_text, chunk_tokens).  Trailing chunks
+    shorter than ``min_tokens`` are dropped (a 1-token tail is training
+    noise); a document shorter than ``window`` still yields its single
+    truncated chunk when it clears ``min_tokens``.
+
+    Scale shape: tokenize -> sequence -> posexplode -> slice is all
+    narrow (zero shuffles, whole-stage codegen); output row count is
+    ~n_tokens/stride per doc, and the chunk text is re-materialized
+    from the one tokens array per doc — the input corpus is scanned
+    exactly once and never shuffled.
+    """
+    if stride is None:
+        stride = window
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != ""
+    )
+    d = docs.select(id_col, toks.alias("__t")).filter(F.size("__t") > 0)
+    d = d.select(
+        id_col,
+        "__t",
+        F.posexplode(F.sequence(F.lit(0), F.size("__t") - 1, F.lit(stride))).alias(
+            "chunk_id", "__start"
+        ),
+    )
+    piece = F.slice("__t", F.col("__start") + 1, window)
+    return (
+        d.select(
+            id_col,
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.array_join(piece, " ").alias("chunk_text"),
+            F.size(piece).cast("long").alias("chunk_tokens"),
+        )
+        .filter(F.col("chunk_tokens") >= min_tokens)
+    )
+
+
 def pack_shards(
     docs: DataFrame,
     budget: int,

@@ -36,6 +36,7 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, source_path string"
 
@@ -259,3 +260,39 @@ def write_warc(records: list[tuple[str, str, bytes]], gzipped: bool = True) -> b
         rec = head + http + b"\r\n\r\n"
         out += gzip.compress(rec) if gzipped else rec
     return bytes(out)
+
+
+def build_cdx_index(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    body_col: str = "html",
+    shards: int = 32,
+) -> DataFrame:
+    """CDX(J)-style capture index over an ingested pages table:
+    (surt_key, ts, url, digest), globally ordered by (surt_key, ts).
+
+    The public CDX format's whole point is the key order: pywb /
+    OpenWayback binary-search flat sorted files, and Common Crawl's
+    cc-index range-partitions by SURT prefix.  Spark's native shape for
+    "globally sorted shard set" is repartitionByRange + within-partition
+    sort — a range exchange against sampled bounds (no single-partition
+    funnel), then each shard sorts only its slice; writing the result
+    yields files whose key ranges are disjoint and ordered, so a
+    per-domain lookup prunes to one shard.
+
+    ``digest`` is the md5 of the body (the CDX content-digest column) —
+    consumers diff it across ``ts`` to skip unchanged re-crawls without
+    touching the bodies.
+    """
+    from tripwire_spark.functions.urls import surt
+
+    keyed = pages.select(
+        surt(url_col).alias("surt_key"),
+        F.col(ts_col).alias("ts"),
+        F.col(url_col).alias("url"),
+        F.md5(F.col(body_col).cast("binary")).alias("digest"),
+    )
+    return keyed.repartitionByRange(shards, "surt_key", "ts").sortWithinPartitions(
+        "surt_key", "ts"
+    )
