@@ -1416,6 +1416,30 @@ def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_recrawl_schedule(spark: SparkSession, sf: str) -> DataFrame:
+    # Freshness estimator over a CDX-shaped capture history synthesized
+    # from events: digest transitions -> change rate -> staleness-
+    # weighted re-crawl priority (exact int64 ranking)
+    from tripwire_spark.operators.frontier import recrawl_schedule
+
+    e = _t(spark, sf, "events")
+    cap = e.select(
+        F.concat(
+            F.lit("http://site"),
+            F.pmod(F.col("user_id"), F.lit(40)),
+            F.lit(".test/p"),
+            F.pmod(F.col("event_id"), F.lit(5)),
+        ).alias("url"),
+        # session tz is UTC, so the NTZ -> TZ cast matches DuckDB's
+        # naive epoch_us exactly
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.md5(
+            F.concat(F.lit("v"), F.pmod(F.expr("event_id div 7"), F.lit(3)).cast("string"))
+        ).alias("digest"),
+    )
+    return recrawl_schedule(cap)
+
+
 def q_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
     # fastText/CCNet-style hashed log-odds classifier: train on the
     # corpus with lang=='en' as the label proxy, score every document
@@ -1721,6 +1745,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_documents": q_chunk_documents,
     "surt_key": q_surt_key,
     "quality_classifier": q_quality_classifier,
+    "recrawl_schedule": q_recrawl_schedule,
     "nested_anti_join": q_nested_anti_join,
     "select_payload": q_select_payload,
     "count_distinct": q_count_distinct,
@@ -2644,6 +2669,35 @@ ORACLES.update(
             WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000
                   < CAST((CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
                           WHEN 'zh' THEN 0.1 ELSE 0.0 END) * 10000 AS BIGINT)
+        """,
+        "recrawl_schedule": """
+            WITH cap AS (
+              SELECT 'http://site' || (user_id % 40) || '.test/p' || (event_id % 5) AS url,
+                     epoch_us(ts) AS ts_us,
+                     md5('v' || ((event_id // 7) % 3)) AS digest
+              FROM events),
+            d AS (
+              SELECT url, ts_us, digest,
+                     CASE WHEN lag(digest) OVER w IS NOT NULL
+                           AND digest <> lag(digest) OVER w
+                          THEN 1 ELSE 0 END AS chg
+              FROM cap WINDOW w AS (PARTITION BY url ORDER BY ts_us)),
+            per AS (
+              SELECT url, count(*) AS n_captures,
+                     CAST(sum(chg) AS BIGINT) AS n_changes,
+                     max(ts_us) AS last_ts
+              FROM d GROUP BY url),
+            now AS (SELECT max(ts_us) AS now_us FROM cap),
+            r AS (
+              SELECT url, n_captures, n_changes,
+                     CASE WHEN n_captures > 1
+                          THEN CAST(round(n_changes * 1000000.0 / (n_captures - 1), 0) AS BIGINT)
+                          ELSE 0 END AS change_rate6,
+                     CAST(now_us - last_ts AS BIGINT) AS staleness_us
+              FROM per, now)
+            SELECT url, n_captures, n_changes, change_rate6, staleness_us,
+                   change_rate6 * staleness_us AS priority
+            FROM r
         """,
         "quality_classifier": """
             WITH ex AS (

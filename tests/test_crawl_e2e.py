@@ -309,3 +309,32 @@ def test_crawl_trap_limit_caps_shape_explosions(spark):
     assert capped.frontier.filter("url IS NULL OR host IS NULL").count() == 0
     base.release()
     capped.release()
+
+
+def test_recrawl_schedule_estimator_and_plan(spark):
+    from tripwire_spark.operators.frontier import recrawl_schedule
+
+    # u1: 4 captures, digest changes on every interval (rate 1.0), last
+    # seen at t=30.  u2: 3 captures, 1 change in 2 intervals (rate .5),
+    # last seen at t=50 (the global "now" -> staleness 0).  u3: single
+    # capture -> rate 0.
+    rows = [
+        ("u1", 0, "a"), ("u1", 10, "b"), ("u1", 20, "c"), ("u1", 30, "d"),
+        ("u2", 0, "x"), ("u2", 25, "x"), ("u2", 50, "y"),
+        ("u3", 40, "z"),
+    ]
+    cap = spark.createDataFrame(rows, "url string, ts_us long, digest string")
+    out = {r.url: r for r in recrawl_schedule(cap).collect()}
+    assert (out["u1"].n_changes, out["u1"].change_rate6) == (3, 1_000_000)
+    assert out["u1"].staleness_us == 20 and out["u1"].priority == 20_000_000
+    assert (out["u2"].n_changes, out["u2"].change_rate6) == (1, 500_000)
+    assert out["u2"].staleness_us == 0 and out["u2"].priority == 0
+    assert out["u3"].change_rate6 == 0 and out["u3"].priority == 0
+
+    # scale shape: the lag window and the per-url aggregate share ONE
+    # url-keyed exchange; "now" joins as a broadcast
+    plan = recrawl_schedule(cap)._jdf.queryExecution().executedPlan().toString()
+    import re
+    url_exchanges = len(re.findall(r"Exchange hashpartitioning\(url", plan))
+    assert url_exchanges == 1, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan

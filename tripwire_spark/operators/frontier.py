@@ -313,3 +313,60 @@ def filter_url_traps(
         flagged.filter((F.col("__n") <= limit) | (F.col("__rn") <= keep))
         .drop("__th", "__ts", "__rn", "__n")
     )
+
+
+def recrawl_schedule(
+    captures: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "ts_us",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Freshness-driven re-crawl prioritization from a capture history
+    (the CDX index shape: url, capture time, content digest).
+
+    Estimates each URL's change rate from consecutive digest
+    transitions (the Cho & Garcia-Molina page-freshness estimator:
+    changes / observation intervals) and prioritizes by expected missed
+    changes = change_rate x time-since-last-capture.  Output per url:
+    (url, n_captures, n_changes, change_rate6, staleness_us, priority)
+    where change_rate6 is 6-dp micro-units (bigint), staleness is
+    micros against the table's max capture time, and priority =
+    change_rate6 * staleness_us — an exact int64 product, so the
+    ranking is byte-stable on any engine or cluster size.
+
+    Plan: the lag window and the per-url aggregate share the
+    partitioning key (ONE url-keyed exchange — the groupBy reuses the
+    window's shuffle); "now" is a 1-row broadcast, never a driver
+    action.  A never-seen-changed URL gets rate 0 and sorts by its
+    tiebreak (url asc) — re-seeding cold URLs is the frontier's job,
+    not this estimator's.
+    """
+    w = Window.partitionBy(url_col).orderBy(ts_col)
+    prev = F.lag(digest_col).over(w)
+    d = captures.select(url_col, ts_col, digest_col).withColumn(
+        "__chg", (prev.isNotNull() & (F.col(digest_col) != prev)).cast("int")
+    )
+    per = d.groupBy(url_col).agg(
+        F.count(F.lit(1)).alias("n_captures"),
+        F.sum("__chg").cast("bigint").alias("n_changes"),
+        F.max(ts_col).alias("__last"),
+    )
+    now = captures.agg(F.max(F.col(ts_col)).alias("__now"))
+    rate6 = F.when(
+        F.col("n_captures") > 1,
+        F.round(
+            F.col("n_changes") * 1000000.0 / (F.col("n_captures") - 1), 0
+        ).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    return (
+        per.crossJoin(F.broadcast(now))
+        .select(
+            url_col,
+            "n_captures",
+            "n_changes",
+            rate6.alias("change_rate6"),
+            (F.col("__now") - F.col("__last")).cast("bigint").alias("staleness_us"),
+        )
+        .withColumn("priority", F.col("change_rate6") * F.col("staleness_us"))
+        .orderBy(F.col("priority").desc(), url_col)
+    )
