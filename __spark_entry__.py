@@ -1416,6 +1416,14 @@ def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_domain_scorecard(spark: SparkSession, sf: str) -> DataFrame:
+    # Per-domain curation rollup: how each source survives the
+    # quality -> repetition -> language -> dedup gate chain
+    from tripwire_spark.operators.textstats import domain_scorecard
+
+    return domain_scorecard(_t(spark, sf, "documents"), group_col="source")
+
+
 def q_recrawl_schedule(spark: SparkSession, sf: str) -> DataFrame:
     # Freshness estimator over a CDX-shaped capture history synthesized
     # from events: digest transitions -> change rate -> staleness-
@@ -1746,6 +1754,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "surt_key": q_surt_key,
     "quality_classifier": q_quality_classifier,
     "recrawl_schedule": q_recrawl_schedule,
+    "domain_scorecard": q_domain_scorecard,
     "nested_anti_join": q_nested_anti_join,
     "select_payload": q_select_payload,
     "count_distinct": q_count_distinct,
@@ -2013,6 +2022,54 @@ _LANG_HITS = ",\n".join(
     f"CAST(len(list_filter(t, x -> list_contains({arr}, x))) AS BIGINT) AS {lang}_hits"
     for lang, arr in _STOP.items()
 )
+
+# Shared CTE chain for the curation family: per-doc gate features ->
+# verdict (quality -> repetition -> language -> dup keep-first).  Both
+# curation_verdicts and its per-domain rollup (domain_scorecard) build
+# on the same `v` relation.
+_CURATION_CTES = f"""toks AS (
+              SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents),
+            feat AS (
+              SELECT doc_id, text, t,
+                     CAST(len(t) AS BIGINT) AS n_tokens,
+                     (length(trim(text)) - (len(t) - 1)) / CAST(len(t) AS DOUBLE) AS mtl,
+                     {_LANG_HITS},
+                     list_filter(string_split(text, chr(10)), l -> length(trim(l)) > 0) AS ls,
+                     CASE WHEN len(t) >= 2
+                          THEN list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])
+                          ELSE [] END AS g,
+                     md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+              FROM toks),
+            feat2 AS (
+              SELECT doc_id, n_tokens, mtl, fp,
+                     CASE WHEN de_hits >= en_hits AND de_hits >= es_hits AND de_hits >= fr_hits AND de_hits > 0 THEN 'de'
+                          WHEN en_hits >= es_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+                          WHEN es_hits >= fr_hits AND es_hits > 0 THEN 'es'
+                          WHEN fr_hits > 0 THEN 'fr'
+                          ELSE 'und' END AS pred_lang,
+                     CASE WHEN len(ls) > 0
+                          THEN (len(ls) - len(list_distinct(ls))) / CAST(len(ls) AS DOUBLE)
+                          ELSE 0.0 END AS dlf,
+                     CASE WHEN len(g) > 0
+                          THEN (len(g) - len(list_distinct(g))) / CAST(len(g) AS DOUBLE)
+                          ELSE 0.0 END AS d2f,
+                     CASE WHEN len(g) > 0
+                          THEN list_max(list_transform(list_distinct(g),
+                                 x -> len(list_filter(g, y -> y = x)))) / CAST(len(g) AS DOUBLE)
+                          ELSE 0.0 END AS t2f,
+                     row_number() OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                                        ORDER BY doc_id) AS rn
+              FROM feat),
+            v AS (
+              SELECT doc_id, pred_lang, n_tokens,
+                     CASE WHEN NOT (n_tokens >= 20 AND n_tokens <= 100000 AND mtl >= 2 AND mtl <= 12)
+                          THEN 'quality'
+                          WHEN NOT (dlf <= 0.30 AND d2f <= 0.60 AND t2f <= 0.20)
+                          THEN 'repetition'
+                          WHEN pred_lang <> 'en' THEN 'language'
+                          WHEN rn > 1 THEN 'duplicate'
+                          ELSE 'keep' END AS verdict
+              FROM feat2)"""
 
 ORACLES.update(
     {
@@ -2340,50 +2397,22 @@ ORACLES.update(
                   < CAST(floor(f * 10000) AS BIGINT)
         """,
         "curation_verdicts": f"""
-            WITH toks AS (
-              SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents),
-            feat AS (
-              SELECT doc_id, text, t,
-                     CAST(len(t) AS BIGINT) AS n_tokens,
-                     (length(trim(text)) - (len(t) - 1)) / CAST(len(t) AS DOUBLE) AS mtl,
-                     {_LANG_HITS},
-                     list_filter(string_split(text, chr(10)), l -> length(trim(l)) > 0) AS ls,
-                     CASE WHEN len(t) >= 2
-                          THEN list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])
-                          ELSE [] END AS g,
-                     md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
-              FROM toks),
-            feat2 AS (
-              SELECT doc_id, n_tokens, mtl, fp,
-                     CASE WHEN de_hits >= en_hits AND de_hits >= es_hits AND de_hits >= fr_hits AND de_hits > 0 THEN 'de'
-                          WHEN en_hits >= es_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
-                          WHEN es_hits >= fr_hits AND es_hits > 0 THEN 'es'
-                          WHEN fr_hits > 0 THEN 'fr'
-                          ELSE 'und' END AS pred_lang,
-                     CASE WHEN len(ls) > 0
-                          THEN (len(ls) - len(list_distinct(ls))) / CAST(len(ls) AS DOUBLE)
-                          ELSE 0.0 END AS dlf,
-                     CASE WHEN len(g) > 0
-                          THEN (len(g) - len(list_distinct(g))) / CAST(len(g) AS DOUBLE)
-                          ELSE 0.0 END AS d2f,
-                     CASE WHEN len(g) > 0
-                          THEN list_max(list_transform(list_distinct(g),
-                                 x -> len(list_filter(g, y -> y = x)))) / CAST(len(g) AS DOUBLE)
-                          ELSE 0.0 END AS t2f,
-                     row_number() OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
-                                        ORDER BY doc_id) AS rn
-              FROM feat),
-            v AS (
-              SELECT doc_id, pred_lang, n_tokens,
-                     CASE WHEN NOT (n_tokens >= 20 AND n_tokens <= 100000 AND mtl >= 2 AND mtl <= 12)
-                          THEN 'quality'
-                          WHEN NOT (dlf <= 0.30 AND d2f <= 0.60 AND t2f <= 0.20)
-                          THEN 'repetition'
-                          WHEN pred_lang <> 'en' THEN 'language'
-                          WHEN rn > 1 THEN 'duplicate'
-                          ELSE 'keep' END AS verdict
-              FROM feat2)
+            WITH {_CURATION_CTES}
             SELECT doc_id, pred_lang, n_tokens, verdict, verdict = 'keep' AS keep FROM v
+        """,
+        "domain_scorecard": f"""
+            WITH {_CURATION_CTES},
+            j AS (SELECT d.source, v.n_tokens, v.verdict FROM v JOIN documents d USING (doc_id))
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                   CAST(sum(CASE WHEN verdict = 'keep' THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+                   CAST(sum(CASE WHEN verdict = 'quality' THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+                   CAST(sum(CASE WHEN verdict = 'repetition' THEN 1 ELSE 0 END) AS BIGINT) AS n_repetition,
+                   CAST(sum(CASE WHEN verdict = 'language' THEN 1 ELSE 0 END) AS BIGINT) AS n_language,
+                   CAST(sum(CASE WHEN verdict = 'duplicate' THEN 1 ELSE 0 END) AS BIGINT) AS n_duplicate,
+                   CAST(round(sum(CASE WHEN verdict = 'keep' THEN 1 ELSE 0 END) * 1000000.0
+                              / count(*), 0) AS BIGINT) AS keep_rate6
+            FROM j GROUP BY source
         """,
         "url_traps": """
             WITH u AS (

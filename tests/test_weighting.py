@@ -122,3 +122,39 @@ def test_mixture_sample_budget_and_determinism(spark):
     # byte-identical at any partitioning
     again = mixture_sample(docs.repartition(11), budget_frac=0.3).collect()
     assert sorted(r.doc_id for r in again) == sorted(r.doc_id for r in got)
+
+
+def test_domain_scorecard_consistent_with_verdicts(spark):
+    from tripwire_spark.operators.textstats import curation_verdicts, domain_scorecard
+
+    good = "the of is " + " ".join(f"word{i}" for i in range(20))
+    rows = [
+        (0, good + " alpha", "s1"),
+        (1, good + " beta", "s1"),
+        (2, "short", "s1"),                      # quality fail
+        (3, good + " gamma", "s2"),              # distinct content -> keep
+        (4, good + " gamma", "s2"),              # exact dup of doc 3 -> duplicate
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    card = {r.source: r for r in domain_scorecard(docs, group_col="source").collect()}
+    v = curation_verdicts(docs, carry=("source",)).collect()
+    # the rollup is exactly the verdict histogram per source
+    from collections import Counter
+    hist = {s: Counter() for s in ("s1", "s2")}
+    for r in v:
+        hist[r.source][r.verdict] += 1
+    for s in ("s1", "s2"):
+        c = card[s]
+        assert c.n_docs == sum(hist[s].values())
+        assert c.n_keep == hist[s]["keep"]
+        assert c.n_quality == hist[s]["quality"]
+        assert c.n_duplicate == hist[s]["duplicate"]
+        assert c.keep_rate6 == round(c.n_keep * 1e6 / c.n_docs)
+    assert card["s2"].n_duplicate == 1
+
+    # carry rides the projection: no join back onto the corpus
+    plan = (
+        domain_scorecard(docs, group_col="source")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan, plan

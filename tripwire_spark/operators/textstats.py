@@ -154,7 +154,8 @@ def rolling_fingerprint(text: Column) -> Column:
 
 
 def curation_verdicts(docs, id_col: str = "doc_id", text_col: str = "text",
-                      langs: tuple[str, ...] = ("en",)):
+                      langs: tuple[str, ...] = ("en",),
+                      carry: tuple[str, ...] = ()):
     """The end-to-end curation decision per document — the gates above
     composed in the order a production corpus pass applies them:
 
@@ -178,6 +179,7 @@ def curation_verdicts(docs, id_col: str = "doc_id", text_col: str = "text",
     rep = repetition_features(F.col(text_col))
     base = docs.select(
         F.col(id_col),
+        *carry,
         q["n_tokens"].alias("n_tokens"),
         q["keep"].alias("__q"),
         rep["keep"].alias("__r"),
@@ -195,8 +197,51 @@ def curation_verdicts(docs, id_col: str = "doc_id", text_col: str = "text",
     )
     return v.select(
         id_col,
+        *carry,
         "pred_lang",
         "n_tokens",
         verdict.alias("verdict"),
         (verdict == "keep").alias("keep"),
+    )
+
+
+def domain_scorecard(docs, group_col: str = "source", id_col: str = "doc_id",
+                     text_col: str = "text", langs: tuple[str, ...] = ("en",)):
+    """Per-domain curation scorecard: the rollup a crawl operator reads
+    to decide which domains deserve budget (RefinedWeb/CCNet publish
+    exactly this shape — per-domain survival through each gate).
+
+    Output per group: (group, n_docs, n_tokens, n_keep, n_quality,
+    n_repetition, n_language, n_duplicate, keep_rate6) with keep_rate6
+    the 6-dp micro-unit keep share.  Feeds straight back into the
+    frontier: a domain with a collapsing keep_rate is a trap/SEO-farm
+    signal (`detect_url_traps` catches shape-level traps; this catches
+    content-level ones).
+
+    Plan: the group column rides THROUGH curation_verdicts' projection
+    (carry param — no join back onto the corpus), so the rollup adds
+    ONE partial-agg groupBy over (group) beyond the verdicts' own
+    fingerprint window.
+    """
+    from pyspark.sql import functions as F
+
+    v = curation_verdicts(docs, id_col, text_col, langs, carry=(group_col,))
+    n = lambda name: F.sum(F.when(F.col("verdict") == name, 1).otherwise(0)).cast(  # noqa: E731
+        "bigint"
+    ).alias("n_" + name)
+    return (
+        v.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("bigint").alias("n_keep"),
+            n("quality"),
+            n("repetition"),
+            n("language"),
+            n("duplicate"),
+        )
+        .withColumn(
+            "keep_rate6",
+            F.round(F.col("n_keep") * 1000000.0 / F.col("n_docs"), 0).cast("bigint"),
+        )
     )
