@@ -1416,6 +1416,33 @@ def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_main_content(spark: SparkSession, sf: str) -> DataFrame:
+    # Boilerplate removal over closed-form fixture pages: nav + footer
+    # link blocks dropped by link density, prose block kept; the oracle
+    # reconstructs the expected main text from the same construction
+    from tripwire_spark.functions.boilerplate import main_content
+
+    k = F.col("c_custkey")
+    para = F.format_string(
+        "sample prose content for page %d with enough plain words to clear "
+        "the minimum block length gate %d",
+        F.pmod(k, F.lit(7)),
+        F.pmod(k, F.lit(5)),
+    )
+    html = F.concat(
+        F.lit('<html><head><title>T</title></head><body>'
+              '<div><a href="/h">Home</a> <a href="/a">About</a> '
+              '<a href="/c">Contact</a></div><p>'),
+        para,
+        F.lit('</p><div><a href="/t">Terms</a> <a href="/p">Privacy</a>'
+              "</div></body></html>"),
+    )
+    pages = _t(spark, sf, "customer").select(k.alias("custkey"), html.alias("html"))
+    return main_content(pages).select(
+        "custkey", "main_text", "n_blocks_kept", "n_blocks_total"
+    )
+
+
 def q_domain_scorecard(spark: SparkSession, sf: str) -> DataFrame:
     # Per-domain curation rollup: how each source survives the
     # quality -> repetition -> language -> dedup gate chain
@@ -1755,6 +1782,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_classifier": q_quality_classifier,
     "recrawl_schedule": q_recrawl_schedule,
     "domain_scorecard": q_domain_scorecard,
+    "main_content": q_main_content,
     "nested_anti_join": q_nested_anti_join,
     "select_payload": q_select_payload,
     "count_distinct": q_count_distinct,
@@ -2698,6 +2726,15 @@ ORACLES.update(
             WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000
                   < CAST((CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
                           WHEN 'zh' THEN 0.1 ELSE 0.0 END) * 10000 AS BIGINT)
+        """,
+        "main_content": """
+            SELECT c_custkey AS custkey,
+                   'sample prose content for page ' || (c_custkey % 7) ||
+                   ' with enough plain words to clear the minimum block length gate ' ||
+                   (c_custkey % 5) AS main_text,
+                   CAST(1 AS BIGINT) AS n_blocks_kept,
+                   CAST(3 AS BIGINT) AS n_blocks_total
+            FROM customer
         """,
         "recrawl_schedule": """
             WITH cap AS (
