@@ -1416,6 +1416,17 @@ def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_anchor_profile(spark: SparkSession, sf: str) -> DataFrame:
+    # Per-target anchor-text corpus over the deterministic synth link
+    # graph; the oracle regenerates the same (target, text) multiset
+    # closed-form from the _anchor_structs construction
+    from tripwire_spark.operators.graph import anchor_text_profile
+    from tripwire_spark.sources.synth import synth_pages
+
+    pages = synth_pages(spark, n_hosts=40, n_pages=8, n_links=3)
+    return anchor_text_profile(pages, k=2)
+
+
 def q_main_content(spark: SparkSession, sf: str) -> DataFrame:
     # Boilerplate removal over closed-form fixture pages: nav + footer
     # link blocks dropped by link density, prose block kept; the oracle
@@ -1783,6 +1794,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "recrawl_schedule": q_recrawl_schedule,
     "domain_scorecard": q_domain_scorecard,
     "main_content": q_main_content,
+    "anchor_profile": q_anchor_profile,
     "nested_anti_join": q_nested_anti_join,
     "select_payload": q_select_payload,
     "count_distinct": q_count_distinct,
@@ -2726,6 +2738,26 @@ ORACLES.update(
             WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000
                   < CAST((CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
                           WHEN 'zh' THEN 0.1 ELSE 0.0 END) * 10000 AS BIGINT)
+        """,
+        "anchor_profile": """
+            WITH l AS (
+              SELECT printf('http://site%04d.test/p%d',
+                            CAST((h.h * 7 + p.p * 13 + i.i * 29 + 1) % 40 AS INT),
+                            CAST((h.h + p.p * 3 + i.i * 11) % 8 AS INT)) AS target,
+                     (['Sign up','Register here','create an account','Login',
+                       'next page','more info','Contact','Terms of service'])
+                       [CAST((h.h + p.p + i.i) % 8 AS INT) + 1] AS text
+              FROM generate_series(0, 39) h(h),
+                   generate_series(0, 7) p(p),
+                   generate_series(0, 2) i(i)),
+            per AS (SELECT target, text, count(*) AS n FROM l GROUP BY target, text),
+            agg AS (
+              SELECT *,
+                     CAST(sum(n) OVER (PARTITION BY target) AS BIGINT) AS n_inlinks,
+                     CAST(row_number() OVER (PARTITION BY target ORDER BY n DESC, text)
+                          AS BIGINT) AS rnk
+              FROM per)
+            SELECT target, rnk, text, n, n_inlinks FROM agg WHERE rnk <= 2
         """,
         "main_content": """
             SELECT c_custkey AS custkey,

@@ -87,3 +87,26 @@ def test_checkpoint_every_bounds_lineage(spark):
         for x in page_rank(e, iterations=12, checkpoint_every=100).collect()
     }
     assert got == ref
+
+
+def test_anchor_text_profile(spark):
+    from tripwire_spark.operators.graph import anchor_text_profile
+
+    wrap = "<html><body>{}</body></html>".format
+    pages = spark.createDataFrame(
+        [
+            ("http://a.test/", wrap('<a href="/x">Sign up</a><a href="http://b.test/y">More</a>')),
+            ("http://c.test/", wrap('<a href="http://a.test/x">Sign up</a><a href="http://a.test/x">Join now</a>')),
+            ("http://d.test/", wrap('<a href="http://a.test/x">Sign up</a>')),
+        ],
+        "url string, html string",
+    )
+    out = anchor_text_profile(pages, k=2).collect()
+    by_target = {}
+    for r in out:
+        by_target.setdefault(r.target, []).append(r)
+    ax = sorted(by_target["http://a.test/x"], key=lambda r: r.rnk)
+    # relative href resolved against the page url; counts aggregated
+    # across source pages; ties after the top text broken by text asc
+    assert [(r.text, r.n, r.n_inlinks) for r in ax] == [("Sign up", 3, 4), ("Join now", 1, 4)]
+    assert by_target["http://b.test/y"][0].text == "More"

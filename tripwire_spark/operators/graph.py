@@ -101,3 +101,51 @@ def host_rank_weights(
         .withColumn("weight", F.coalesce(F.col("__w"), F.col("weight")))
         .drop("__w")
     )
+
+
+def anchor_text_profile(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    k: int = 3,
+) -> DataFrame:
+    """Per-target anchor-text corpus: what the web CALLS each URL.
+
+    Aggregated inbound anchor text is a classic relevance/training
+    signal (it describes the target, not the source — the public
+    anchor-text corpora built from Common Crawl are exactly this
+    table).  Output per target: (target, rnk, text, n, n_inlinks) —
+    the top-``k`` anchor texts by inbound count (ties: text asc) plus
+    the target's total in-link count.
+
+    Plan: links are extracted ONCE per page (same single-parse
+    discipline as the crawl); hrefs resolve/canonicalize against the
+    page url scan-side; then one partial-agg groupBy (target, text) —
+    Zipf-skewed texts collapse map-side — and a per-target window over
+    the already-aggregated (distinct-text-sized) rows.  Page html never
+    enters a shuffle; the exchanged rows are (url, text, long).
+    """
+    from pyspark.sql import Window
+
+    from tripwire_spark.functions.html import extract_links
+    from tripwire_spark.functions.urls import resolve_canonicalize
+
+    links = pages.select(
+        F.col(url_col), F.explode(extract_links(F.col(html_col))).alias("l")
+    )
+    per = (
+        links.select(
+            resolve_canonicalize(url_col, F.col("l.href")).alias("target"),
+            F.col("l.text").alias("text"),
+        )
+        .groupBy("target", "text")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wt = Window.partitionBy("target")
+    wr = Window.partitionBy("target").orderBy(F.col("n").desc(), "text")
+    return (
+        per.withColumn("n_inlinks", F.sum("n").over(wt).cast("long"))
+        .withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("target", "rnk", "text", "n", "n_inlinks")
+    )
