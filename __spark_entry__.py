@@ -1416,6 +1416,23 @@ def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_doc_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    # BPE-ish regex token counting next to the whitespace count (the
+    # GPT-2 pre-tokenizer split, RE2-compatible subset)
+    from tripwire_spark.operators.textstats import bpe_token_count, tokens
+
+    d = _t(spark, sf, "documents")
+    ws = F.size(F.filter(tokens(F.col("text")), lambda x: x != "")).cast("long")
+    return d.select(
+        "doc_id",
+        bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+        ws.alias("n_ws_tokens"),
+        F.when(ws > 0, F.round(bpe_token_count(F.col("text")) / ws, 6))
+        .otherwise(F.lit(0.0))
+        .alias("bpe_per_ws"),
+    )
+
+
 def q_anchor_profile(spark: SparkSession, sf: str) -> DataFrame:
     # Per-target anchor-text corpus over the deterministic synth link
     # graph; the oracle regenerates the same (target, text) multiset
@@ -1795,6 +1812,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_scorecard": q_domain_scorecard,
     "main_content": q_main_content,
     "anchor_profile": q_anchor_profile,
+    "doc_bpe_tokens": q_doc_bpe_tokens,
     "nested_anti_join": q_nested_anti_join,
     "select_payload": q_select_payload,
     "count_distinct": q_count_distinct,
@@ -2738,6 +2756,21 @@ ORACLES.update(
             WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000
                   < CAST((CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
                           WHEN 'zh' THEN 0.1 ELSE 0.0 END) * 10000 AS BIGINT)
+        """,
+        "doc_bpe_tokens": """
+            WITH c AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(text,
+                          '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+',
+                          0)) AS BIGINT) AS n_bpe_tokens,
+                     CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                          x -> x <> '')) AS BIGINT) AS n_ws_tokens
+              FROM documents)
+            SELECT doc_id, n_bpe_tokens, n_ws_tokens,
+                   CASE WHEN n_ws_tokens > 0
+                        THEN round(n_bpe_tokens / CAST(n_ws_tokens AS DOUBLE), 6)
+                        ELSE 0.0 END AS bpe_per_ws
+            FROM c
         """,
         "anchor_profile": """
             WITH l AS (

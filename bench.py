@@ -259,6 +259,11 @@ def main() -> None:
         "frontier_schedule",
         "registration_status",
         "doc_exact_dedup",
+        # LLM-curation side: near-dup dedup, trained quality gate, and
+        # the full verdict chain over the documents table
+        "minhash_lsh_dedup",
+        "quality_classifier",
+        "curation_verdicts",
     ]
     qs = entrymod.queries()
     times: dict[str, float] = {}

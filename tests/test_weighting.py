@@ -158,3 +158,25 @@ def test_domain_scorecard_consistent_with_verdicts(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Join" not in plan, plan
+
+
+def test_bpe_tokens_shape(spark):
+    import pyspark.sql.functions as F
+
+    from tripwire_spark.operators.textstats import bpe_token_count, bpe_tokens
+
+    df = spark.createDataFrame(
+        [("Hello world, it's 2026! don't stop... x9y",), ("",), ("   ",)], "t string"
+    )
+    rows = df.select(
+        bpe_tokens(F.col("t")).alias("toks"), bpe_token_count(F.col("t")).alias("n")
+    ).collect()
+    assert rows[0].toks == [
+        "Hello", " world", ",", " it", "'s", " 2026", "!", " don", "'t",
+        " stop", "...", " x", "9", "y",
+    ]
+    assert rows[0].n == 14
+    assert rows[1].n == 0          # empty text
+    assert rows[2].toks == ["   "]  # whitespace run is one pre-token
+    # splits are lossless: concatenation reproduces the input
+    assert "".join(rows[0].toks) == "Hello world, it's 2026! don't stop... x9y"

@@ -30,13 +30,28 @@ from pyspark.sql import functions as F
 # --- shingling -----------------------------------------------------------
 
 
+def word_ngrams(toks, n: int):
+    """Word n-gram array by zipping n shifted slices of the token
+    array.  NEVER built as transform-over-index with F.slice(toks, i,
+    n) inside the lambda: a lambda capturing an outer array expression
+    re-evaluates it per ELEMENT (measured 18x slower at sf0.1 in
+    textstats.repetition_features before the same fix).  Also correct
+    for docs shorter than n tokens (empty array; the sequence form
+    emitted a descending [1,0] index and a slice-from-0 error path)."""
+    length = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    out = F.slice(toks, 1, length)
+    for j in range(1, n):
+        out = F.zip_with(
+            out, F.slice(toks, 1 + j, length), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    return out
+
+
 def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document (pure exprs)."""
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
     return (
-        df.select(F.col(id_col).alias("doc"), F.explode(sh).alias("shingle"))
+        df.select(F.col(id_col).alias("doc"), F.explode(word_ngrams(toks, n)).alias("shingle"))
         .distinct()
     )
 
@@ -149,6 +164,7 @@ def minhash_dedup_pairs(
     bands: int = 32,
     rows: int = 2,
     threshold: float = 0.8,
+    materialize: bool = True,
 ) -> DataFrame:
     """Full pipeline: shingle -> minhash -> band join -> verify
     candidates only.
@@ -161,6 +177,15 @@ def minhash_dedup_pairs(
     self-join remains in the plan.
     """
     sh = shingles(df, id_col, text_col, n)
+    if materialize:
+        # the shingle table feeds THREE consumers (signatures + both
+        # verify sides); without materialization each one re-scans and
+        # re-shingles the corpus (measured 8.7 s -> 3.6 s at sf0.1).
+        # Eager localCheckpoint = one job now, then every consumer reads
+        # the shuffled-deduped rows — the crawl loop's own discipline
+        # (crawl.py fetch_extract).  Pass materialize=False to keep the
+        # pipeline fully lazy (plan inspection, tiny inputs).
+        sh = sh.localCheckpoint(eager=True)
     cands = lsh_candidates(minhash_signatures(sh, k), bands, rows)
     return candidate_jaccard(cands, sh, threshold)
 
@@ -372,12 +397,20 @@ def dedup_lines(
     """
     from pyspark.sql import Window
 
+    # slice AFTER the explode, against the row's materialized token
+    # column — not transform-over-starts with F.slice(toks, i, ...)
+    # inside the lambda, which re-evaluates the captured split per
+    # element (the word_ngrams recapture pitfall; same fix)
     toks = F.split(F.trim(F.col(text_col)), sep)
     starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(words_per_line))
-    lines_arr = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, words_per_line)))
     lines = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(lines_arr).alias("pos", "line"),
+        toks.alias("__t"),
+        F.posexplode(starts).alias("pos", "__start"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.concat_ws(" ", F.slice("__t", F.col("__start"), words_per_line)).alias("line"),
     )
     w = Window.partitionBy("line").orderBy("doc_id", "pos")
     ranked = lines.withColumn("rn", F.row_number().over(w))

@@ -31,6 +31,25 @@ def tokens(text: Column) -> Column:
     return F.split(F.lower(F.trim(text)), r"\s+")
 
 
+# GPT-2-style pre-tokenizer split (the public gpt-2 regex minus its
+# lookahead clauses, which RE2 engines reject — the DuckDB oracle twin
+# runs RE2, Spark runs java.util.regex, and this subset tokenizes
+# identically on both): contractions, letter runs, digit runs,
+# punctuation runs, whitespace — each with an optional leading space.
+BPE_SPLIT_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_tokens(text: Column) -> Column:
+    """Subword-boundary pre-tokens (BPE tokenizers split within these,
+    never across, so their count is the stable upper-structure of the
+    true token count)."""
+    return F.regexp_extract_all(text, F.lit(BPE_SPLIT_RE), 0)
+
+
+def bpe_token_count(text: Column) -> Column:
+    return F.size(bpe_tokens(text)).cast("long")
+
+
 def stopword_hits(toks: Column, lang: str) -> Column:
     """# tokens that are stopwords of ``lang`` (size of filtered array)."""
     sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
@@ -100,21 +119,43 @@ def repetition_features(text: Column) -> dict[str, Column]:
     ).otherwise(F.lit(0.0))
 
     toks = tokens(text)
-    # sequence(1, 0) would count DOWN in Spark, so gate on >= 2 tokens
-    idx = F.when(
-        F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)
-    ).otherwise(F.array().cast("array<int>"))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 2)))
+    # 2-grams by zipping the array with its own shift.  NOT transform
+    # over an index sequence with F.slice(toks, i, 2) inside the lambda:
+    # a lambda that captures an outer array expression re-evaluates it
+    # per ELEMENT (measured 11 s vs 0.6 s for 5k x 100-token docs at
+    # sf0.1) — zip_with keeps the token array a lambda argument.
+    n_toks = F.size(toks)
+    shift_len = F.greatest(n_toks - 1, F.lit(0))
+    grams = F.zip_with(
+        F.slice(toks, 1, shift_len),
+        F.slice(toks, 2, shift_len),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
     n_grams = F.size(grams).cast("long")
     dup_2gram_frac = F.when(
         n_grams > 0,
         (n_grams - F.size(F.array_distinct(grams))).cast("double") / n_grams,
     ).otherwise(F.lit(0.0))
-    top_count = F.array_max(
-        F.transform(
-            F.array_distinct(grams),
-            lambda g: F.size(F.filter(grams, lambda x: x == g)),
-        )
+    # top multiplicity = longest equal-run in the SORTED gram array —
+    # one sort + one linear aggregate pass.  (The naive distinct x
+    # filter nesting re-evaluates the gram-construction expression
+    # inside every lambda element: measured 245 s for 5k x 100-token
+    # docs at sf0.1 vs ~2 s for this form, identical semantics.)
+    sorted_grams = F.array_sort(grams)
+    run_next = lambda acc, x: F.when(  # noqa: E731
+        x == acc["prev"], acc["run"] + 1
+    ).otherwise(F.lit(1))
+    top_count = F.aggregate(
+        sorted_grams,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            run_next(acc, x).alias("run"),
+            F.greatest(acc["best"], run_next(acc, x)).alias("best"),
+        ),
+        lambda acc: acc["best"],
     ).cast("long")
     top_2gram_frac = F.when(
         n_grams > 0, top_count.cast("double") / n_grams

@@ -148,14 +148,12 @@ def _doc_gram_buckets(
     engine-portable md5 bucket — the doc side of every DSIR join ships
     a few longs; ``carry`` columns ride through the explode so no join
     back to the document table is ever needed."""
+    from tripwire_spark.operators.dedup import word_ngrams
+
+    # zip-shifted bigrams (see word_ngrams: transform-over-index with a
+    # captured outer array re-evaluates the capture per element)
     toks = tokens(F.col(text_col))
-    grams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = word_ngrams(toks, 2)
     return docs.select(F.col(id_col), *carry, F.explode(grams).alias("gram")).select(
         id_col, *carry, md5_bucket("gram", buckets).alias("bucket")
     )
