@@ -1416,6 +1416,17 @@ def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_doc_sentences(spark: SparkSession, sf: str) -> DataFrame:
+    # Deterministic sentence segmentation (lookaround-free, identical
+    # under java.util.regex and RE2) exploded to one row per sentence
+    from tripwire_spark.operators.textstats import sentences
+
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id", F.posexplode(sentences(F.col("text"))).alias("sent_id", "sentence")
+    ).select("doc_id", F.col("sent_id").cast("long").alias("sent_id"), "sentence")
+
+
 def q_doc_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
     # BPE-ish regex token counting next to the whitespace count (the
     # GPT-2 pre-tokenizer split, RE2-compatible subset)
@@ -1813,6 +1824,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "main_content": q_main_content,
     "anchor_profile": q_anchor_profile,
     "doc_bpe_tokens": q_doc_bpe_tokens,
+    "doc_sentences": q_doc_sentences,
     "nested_anti_join": q_nested_anti_join,
     "select_payload": q_select_payload,
     "count_distinct": q_count_distinct,
@@ -2756,6 +2768,17 @@ ORACLES.update(
             WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000
                   < CAST((CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
                           WHEN 'zh' THEN 0.1 ELSE 0.0 END) * 10000 AS BIGINT)
+        """,
+        "doc_sentences": """
+            WITH s AS (
+              SELECT doc_id,
+                     list_filter(list_transform(
+                         regexp_extract_all(text, '[^.!?]+[.!?]*', 0),
+                         x -> trim(x)), x -> x <> '') AS arr
+              FROM documents),
+            st AS (SELECT doc_id, arr, unnest(range(1, len(arr) + 1)) AS i FROM s)
+            SELECT doc_id, CAST(i - 1 AS BIGINT) AS sent_id, arr[i] AS sentence
+            FROM st
         """,
         "doc_bpe_tokens": """
             WITH c AS (

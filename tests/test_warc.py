@@ -189,3 +189,38 @@ def test_build_cdx_index_global_order_and_range_plan(spark):
         i = int(u.rsplit("p", 1)[1])
         want = hashlib.md5(f"<html>{i % 5}</html>".encode()).hexdigest()
         assert dig == want
+
+
+def test_streaming_curation_end_to_end(spark, tmp_path):
+    """Compose the streaming ingest with the batch curation exprs: WARC
+    landing dir -> stream_warc -> curation_verdicts over the streamed
+    pages — the same operator chain a continuous-ingest curation
+    pipeline runs, verified row-for-row against the batch path."""
+    from tripwire_spark.operators.textstats import curation_verdicts
+    from tripwire_spark.sources.warc import ingest_warc, stream_warc, write_warc
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    good = "the of is " + " ".join(f"word{i}" for i in range(25))
+    recs = [
+        (f"http://s{i}.test/", "2026-03-01T00:00:00Z",
+         (f"<html><body><p>{good} v{i % 2}</p></body></html>").encode())
+        for i in range(6)
+    ]
+    (land / "a.warc.gz").write_bytes(write_warc(recs))
+    out_dir, ck = str(tmp_path / "pages"), str(tmp_path / "ck")
+    stream_warc(spark, str(land), out_dir, ck).awaitTermination(120)
+
+    import pyspark.sql.functions as F
+
+    streamed = spark.read.parquet(out_dir).withColumn("doc_id", F.xxhash64("url"))
+    v = curation_verdicts(streamed, id_col="doc_id", text_col="text")
+    got = sorted((r.verdict) for r in v.collect())
+    # 2 distinct bodies -> 2 keeps, 4 duplicates (title+text dedup on
+    # the two planted variants)
+    assert got == ["duplicate"] * 4 + ["keep"] * 2
+
+    # identical verdicts via the batch ingest path
+    batch = ingest_warc(spark, str(land)).withColumn("doc_id", F.xxhash64("url"))
+    bv = sorted((r.verdict) for r in curation_verdicts(batch, id_col="doc_id", text_col="text").collect())
+    assert bv == got

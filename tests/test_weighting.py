@@ -180,3 +180,21 @@ def test_bpe_tokens_shape(spark):
     assert rows[2].toks == ["   "]  # whitespace run is one pre-token
     # splits are lossless: concatenation reproduces the input
     assert "".join(rows[0].toks) == "Hello world, it's 2026! don't stop... x9y"
+
+
+def test_sentence_segmentation(spark):
+    import pyspark.sql.functions as F
+
+    from tripwire_spark.operators.textstats import sentences
+
+    cases = {
+        "One sentence. Two! Three? And a tail": ["One sentence.", "Two!", "Three?", "And a tail"],
+        "": [],
+        "   ": [],
+        "No terminator at all": ["No terminator at all"],
+        "Dots... everywhere!! ok?": ["Dots...", "everywhere!!", "ok?"],
+    }
+    df = spark.createDataFrame([(t,) for t in cases], "t string")
+    got = {r.t: r.s for r in df.select("t", sentences(F.col("t")).alias("s")).collect()}
+    for t, want in cases.items():
+        assert got[t] == want, (t, got[t])

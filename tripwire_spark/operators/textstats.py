@@ -50,6 +50,24 @@ def bpe_token_count(text: Column) -> Column:
     return F.size(bpe_tokens(text)).cast("long")
 
 
+# Sentence split as "runs of non-terminators plus their trailing
+# terminators" — deliberately lookaround-free so java.util.regex and
+# RE2 (the DuckDB oracle engine) segment identically.  The C4 span
+# rules and ExactSubstr both speak in sentences; this is the
+# deterministic segmenter they compose with.
+SENTENCE_RE = r"[^.!?]+[.!?]*"
+
+
+def sentences(text: Column) -> Column:
+    """Trimmed, non-empty sentence array in document order."""
+    return F.filter(
+        F.transform(
+            F.regexp_extract_all(text, F.lit(SENTENCE_RE), 0), lambda s: F.trim(s)
+        ),
+        lambda s: s != "",
+    )
+
+
 def stopword_hits(toks: Column, lang: str) -> Column:
     """# tokens that are stopwords of ``lang`` (size of filtered array)."""
     sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
