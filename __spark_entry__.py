@@ -382,7 +382,11 @@ def q_minhash_lsh_dedup(spark: SparkSession, sf: str) -> DataFrame:
     # verified output equals the exact pair set (oracle below).
     from tripwire_spark.operators.dedup import minhash_dedup_pairs
 
-    return minhash_dedup_pairs(_aug_docs(spark, sf), "doc", "text", n=3, k=64, bands=32, rows=2, threshold=0.8)
+    # materialize=True: single-box run, shingles feed 3 consumers
+    return minhash_dedup_pairs(
+        _aug_docs(spark, sf), "doc", "text", n=3, k=64, bands=32, rows=2,
+        threshold=0.8, materialize=True,
+    )
 
 
 def q_simhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
@@ -2850,7 +2854,7 @@ ORACLES.update(
                      CAST(now_us - last_ts AS BIGINT) AS staleness_us
               FROM per, now)
             SELECT url, n_captures, n_changes, change_rate6, staleness_us,
-                   change_rate6 * staleness_us AS priority
+                   change_rate6 * CAST(floor(staleness_us / 1000000.0) AS BIGINT) AS priority
             FROM r
         """,
         "quality_classifier": """
@@ -2893,7 +2897,7 @@ ORACLES.update(
         "chunk_documents": """
             WITH toks AS (
               SELECT doc_id,
-                     list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     list_filter(string_split_regex(trim(text), '\\s+'),
                                  x -> x <> '') AS t
               FROM documents),
             nz AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),

@@ -47,9 +47,10 @@ def test_score_deterministic_across_partitioning(spark):
 def test_map_variant_matches_join_and_is_shuffle_free(spark):
     d = _corpus(spark, 80)
     w = train_log_odds(d, "label", buckets=B)
-    w6 = [0] * B
-    for r in w.collect():  # <= buckets-row dim table: sanctioned collect
-        w6[r.bucket] = r.w6
+    from tripwire_spark.operators.classifier import collect_weights
+
+    w6 = collect_weights(w, B)  # densified: len == trained modulus
+    assert len(w6) == B
     ref = {r.doc_id: (r.n_toks, r.quality_score, r.keep)
            for r in classifier_score(d, w, buckets=B).collect()}
     fast = classifier_score_map(d, w6)

@@ -318,15 +318,18 @@ def test_recrawl_schedule_estimator_and_plan(spark):
     # seen at t=30.  u2: 3 captures, 1 change in 2 intervals (rate .5),
     # last seen at t=50 (the global "now" -> staleness 0).  u3: single
     # capture -> rate 0.
+    s = 1_000_000  # one second of microseconds
     rows = [
-        ("u1", 0, "a"), ("u1", 10, "b"), ("u1", 20, "c"), ("u1", 30, "d"),
-        ("u2", 0, "x"), ("u2", 25, "x"), ("u2", 50, "y"),
-        ("u3", 40, "z"),
+        ("u1", 0, "a"), ("u1", 10 * s, "b"), ("u1", 20 * s, "c"), ("u1", 30 * s, "d"),
+        ("u2", 0, "x"), ("u2", 25 * s, "x"), ("u2", 50 * s, "y"),
+        ("u3", 40 * s, "z"),
     ]
     cap = spark.createDataFrame(rows, "url string, ts_us long, digest string")
     out = {r.url: r for r in recrawl_schedule(cap).collect()}
     assert (out["u1"].n_changes, out["u1"].change_rate6) == (3, 1_000_000)
-    assert out["u1"].staleness_us == 20 and out["u1"].priority == 20_000_000
+    # priority = rate6 x staleness-in-SECONDS (micros would overflow
+    # int64 after ~107 days for a rate-1.0 url)
+    assert out["u1"].staleness_us == 20 * s and out["u1"].priority == 20 * 1_000_000
     assert (out["u2"].n_changes, out["u2"].change_rate6) == (1, 500_000)
     assert out["u2"].staleness_us == 0 and out["u2"].priority == 0
     assert out["u3"].change_rate6 == 0 and out["u3"].priority == 0

@@ -233,6 +233,11 @@ def test_surt_key_shapes(spark):
         "http://a.www.example.com/p": "com,example,www,a)/p",
         # single-param query unchanged; path case preserved
         "http://x.test/CasePath?k=v": "test,x)/CasePath?k=v",
+        # non-default port is part of the origin; scheme defaults drop
+        "http://example.com:8080/x": "com,example:8080)/x",
+        "http://example.com:80/x": "com,example)/x",
+        "https://example.com:443/x": "com,example)/x",
+        "https://example.com:80/x": "com,example:80)/x",
     }
     df = spark.createDataFrame([(u,) for u in cases], "url string")
     got = {r.url: r.s for r in df.select("url", surt("url").alias("s")).collect()}

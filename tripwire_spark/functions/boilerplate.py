@@ -53,17 +53,21 @@ class _BlockWalker(HTMLParser):
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
         self.blocks: list[tuple[str, int, int]] = []
-        self._parts: list[str] = []
-        self._link_chars = 0
+        # raw (data, in_anchor) runs; whitespace-normalized only at
+        # flush, over the CONCATENATION — an inline tag boundary
+        # ('over<b>due</b>') must not inject a space mid-word
+        self._runs: list[tuple[str, bool]] = []
         self._invisible = 0
         self._anchor = 0
 
     def _flush(self) -> None:
-        if self._parts:
-            text = " ".join(self._parts)
-            self.blocks.append((text, len(text), self._link_chars))
-        self._parts = []
-        self._link_chars = 0
+        raw = "".join(d for d, _ in self._runs)
+        text = " ".join(raw.split())
+        if text:
+            link_raw = "".join(d for d, a in self._runs if a)
+            link_chars = len(" ".join(link_raw.split()))
+            self.blocks.append((text, len(text), link_chars))
+        self._runs = []
 
     def handle_starttag(self, tag, attrs):
         if tag in _INVISIBLE:
@@ -82,13 +86,8 @@ class _BlockWalker(HTMLParser):
             self._anchor = max(0, self._anchor - 1)
 
     def handle_data(self, data):
-        if self._invisible:
-            return
-        norm = " ".join(data.split())
-        if norm:
-            self._parts.append(norm)
-            if self._anchor:
-                self._link_chars += len(norm)
+        if not self._invisible and data:
+            self._runs.append((data, self._anchor > 0))
 
 
 def extract_blocks_py(html: bytes | str | None) -> list[dict]:

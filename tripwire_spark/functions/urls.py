@@ -314,6 +314,21 @@ def surt(col: Column | str) -> Column:
     host = F.lower(F.parse_url(c, F.lit("HOST")))
     host = F.regexp_replace(host, r"^www\.", "")
     rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    # non-default port is part of the origin: keep it (SURT keeps
+    # ':8080' after the reversed host) or two services' capture
+    # streams interleave under one CDX key.  parse_url HOST strips the
+    # port, so pull it from AUTHORITY; default ports are omitted.
+    port = F.regexp_extract(F.parse_url(c, F.lit("AUTHORITY")), r":(\d+)$", 1)
+    scheme = F.lower(F.regexp_extract(c, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    default_port = F.when(scheme == "http", F.lit("80")).when(
+        scheme == "https", F.lit("443")
+    ).otherwise(F.lit(""))
+    rev = F.concat(
+        rev,
+        F.when(
+            (port != "") & (port != default_port), F.concat(F.lit(":"), port)
+        ).otherwise(F.lit("")),
+    )
     path = F.coalesce(F.parse_url(c, F.lit("PATH")), F.lit(""))
     path = F.when(path == "", F.lit("/")).otherwise(path)
     query = F.parse_url(c, F.lit("QUERY"))

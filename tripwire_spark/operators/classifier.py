@@ -132,6 +132,21 @@ def classifier_score(
     )
 
 
+def collect_weights(weights: DataFrame, buckets: int) -> list[int]:
+    """Densify a ``train_log_odds`` table into the length-``buckets``
+    array ``classifier_score_map`` needs.  train_log_odds only emits
+    rows for buckets SEEN in training, so a naive collect yields a
+    short array — and a short array silently changes the hash modulus,
+    scoring every token with a scrambled weight.  Unseen buckets get
+    weight 0 (same contract as classifier_score's left join)."""
+    w6 = [0] * buckets
+    for r in weights.select("bucket", "w6").collect():  # <= buckets rows
+        if not 0 <= r.bucket < buckets:
+            raise ValueError(f"bucket {r.bucket} outside [0, {buckets})")
+        w6[r.bucket] = r.w6
+    return w6
+
+
 def classifier_score_map(
     docs: DataFrame,
     w6_by_bucket: list[int],
@@ -141,9 +156,10 @@ def classifier_score_map(
     """Zero-shuffle inference: weights as a plan-literal array, the
     score an ``aggregate`` over the in-row token array — a pure
     projection that rides the scan (same output contract as
-    ``classifier_score``).  ``w6_by_bucket[b]`` must cover every bucket
-    (len == buckets); build it by collecting ``train_log_odds`` output
-    (a <= buckets-row dimension table, the one sanctioned collect)."""
+    ``classifier_score``).  ``len(w6_by_bucket)`` IS the hash modulus,
+    so it must equal the ``buckets`` the model was trained with — build
+    the array with ``collect_weights(train_log_odds(...), buckets)``,
+    never by collecting the (sparse) weights table directly."""
     buckets = len(w6_by_bucket)
     arr = F.lit(w6_by_bucket)
     toks = F.filter(tokens(F.col(text_col)), lambda x: x != "")

@@ -164,7 +164,7 @@ def minhash_dedup_pairs(
     bands: int = 32,
     rows: int = 2,
     threshold: float = 0.8,
-    materialize: bool = True,
+    materialize: bool = False,
 ) -> DataFrame:
     """Full pipeline: shingle -> minhash -> band join -> verify
     candidates only.
@@ -178,13 +178,16 @@ def minhash_dedup_pairs(
     """
     sh = shingles(df, id_col, text_col, n)
     if materialize:
-        # the shingle table feeds THREE consumers (signatures + both
-        # verify sides); without materialization each one re-scans and
-        # re-shingles the corpus (measured 8.7 s -> 3.6 s at sf0.1).
-        # Eager localCheckpoint = one job now, then every consumer reads
-        # the shuffled-deduped rows — the crawl loop's own discipline
-        # (crawl.py fetch_extract).  Pass materialize=False to keep the
-        # pipeline fully lazy (plan inspection, tiny inputs).
+        # OPT-IN: the shingle table feeds THREE consumers (signatures +
+        # both verify sides); without materialization each one re-scans
+        # and re-shingles the corpus (measured 8.7 s -> 3.6 s at
+        # sf0.1).  Off by default because (a) it makes DataFrame
+        # CONSTRUCTION run a job, and (b) localCheckpoint truncates
+        # lineage — on a cluster that loses an executor the checkpointed
+        # blocks are unrecoverable and the job fails instead of
+        # recomputing.  Turn on for single-box batch runs (the bench
+        # does); on a real cluster prefer persisting `shingles(...)`
+        # to reliable storage and passing the pieces yourself.
         sh = sh.localCheckpoint(eager=True)
     cands = lsh_candidates(minhash_signatures(sh, k), bands, rows)
     return candidate_jaccard(cands, sh, threshold)

@@ -351,6 +351,11 @@ def recrawl_schedule(
         F.sum("__chg").cast("bigint").alias("n_changes"),
         F.max(ts_col).alias("__last"),
     )
+    # "now" from the RAW table, not from `per`: Spark does not
+    # materialize shared subplans, so hanging a second consumer off
+    # `per` re-executes its scan + url shuffle (verified in the final
+    # adaptive plan — no ReusedExchange).  A ts-only scan with a
+    # map-side max is one pruned column and no shuffle.
     now = captures.agg(F.max(F.col(ts_col)).alias("__now"))
     rate6 = F.when(
         F.col("n_captures") > 1,
@@ -367,6 +372,13 @@ def recrawl_schedule(
             rate6.alias("change_rate6"),
             (F.col("__now") - F.col("__last")).cast("bigint").alias("staleness_us"),
         )
-        .withColumn("priority", F.col("change_rate6") * F.col("staleness_us"))
+        # rate is micro-units (<= 1e6) and staleness is truncated to
+        # SECONDS for the product: 1e6 * 3e9 s (a century) ~ 3e15 stays
+        # far inside int64 — micros x rate6 would wrap negative after
+        # ~107 days of staleness and invert the ranking
+        .withColumn(
+            "priority",
+            F.col("change_rate6") * F.floor(F.col("staleness_us") / 1_000_000).cast("bigint"),
+        )
         .orderBy(F.col("priority").desc(), url_col)
     )

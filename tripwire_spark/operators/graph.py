@@ -138,6 +138,9 @@ def anchor_text_profile(
             resolve_canonicalize(url_col, F.col("l.href")).alias("target"),
             F.col("l.text").alias("text"),
         )
+        # javascript:/malformed hrefs canonicalize to NULL — drop them
+        # before the groupBy or they pool into a bogus NULL profile
+        .filter(F.col("target").isNotNull())
         .groupBy("target", "text")
         .agg(F.count(F.lit(1)).alias("n"))
     )

@@ -98,9 +98,9 @@ def chunk_documents(
         stride = window
     if stride <= 0 or window <= 0:
         raise ValueError("window and stride must be positive")
-    toks = F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != ""
-    )
+    # split on the RAW text — chunks are training data; case-folding
+    # here would silently corrupt the corpus
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != "")
     d = docs.select(id_col, toks.alias("__t")).filter(F.size("__t") > 0)
     d = d.select(
         id_col,

@@ -255,7 +255,9 @@ def mixture_sample(
     docs at all).
     """
     mix = domain_mixture(docs, group_col, text_col, alpha)
-    n1 = docs.select(F.count(F.lit(1)).alias("__n"))
+    # N = sum of the per-domain doc counts the mixture already carries —
+    # never a third scan of the corpus just to count rows
+    n1 = mix.select(F.sum("n_docs").alias("__n"))
     frac = mix.crossJoin(F.broadcast(n1)).select(
         group_col,
         F.least(
