@@ -122,6 +122,50 @@ def _warm_python_workers(spark, slots: int) -> None:
         t.join()
 
 
+class _LoadSampler:
+    """Samples the 1-min loadavg every ``period`` seconds for the life of
+    a measurement window (context manager).
+
+    Rationale: a window that STARTS quiet (after ``_wait_quiet``) can
+    still catch a tenant burst mid-flight — the 1-slot scaling windows
+    run 5-9 minutes, plenty of exposure.  The end-of-window loadavg the
+    bench used to record sees only the last minute; the in-window mean
+    and max are the evidence that lets a window be classified clean or
+    dirty AFTER the fact, which drives the retry loop below.
+    """
+
+    def __init__(self, period: float = 10.0):
+        self.period = period
+        self.samples: list[float] = []
+
+    def __enter__(self):
+        import threading
+
+        self._stop_evt = threading.Event()
+
+        def run():
+            while not self._stop_evt.wait(self.period):
+                self.samples.append(os.getloadavg()[0])
+
+        self.samples.append(os.getloadavg()[0])
+        self._t = threading.Thread(target=run, daemon=True)
+        self._t.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop_evt.set()
+        self._t.join(timeout=self.period + 1)
+        return False
+
+    @property
+    def mean(self) -> float:
+        return round(sum(self.samples) / max(1, len(self.samples)), 2)
+
+    @property
+    def peak(self) -> float:
+        return round(max(self.samples), 2)
+
+
 def _wait_quiet(target: float = 3.0, max_wait_s: float = 180.0) -> float:
     """Delay a measurement window until the box is quiet(ish).
 
@@ -338,34 +382,61 @@ def main() -> None:
     #    pages parquet (identical bytes/splits on every side).
     slots_small = max(1, min(2, cores // 32))
     slots_large = 4 * slots_small
+    side_slots = {"head": slots_head, "small": slots_small, "large": slots_large}
     if scaling_on:
         # Window order: each 4-slot window follows a 1-slot one (the
         # box's quietest moments are right after the low-load side), and
-        # both scaling sides get 3 best-of windows spread across the
-        # whole timeline.
-        plan = [
-            ("head", slots_head),
-            ("small", slots_small),
-            ("large", slots_large),
-            ("head", slots_head),
-            ("small", slots_small),
-            ("large", slots_large),
-            ("head", slots_head),
-            ("small", slots_small),
-            ("large", slots_large),
-        ]
+        # every side's windows are spread across the whole timeline.
+        plan = ["head", "small", "large", "head", "small", "large", "head"]
     else:
-        plan = [("head", slots_head)] * int(os.environ.get("BENCH_CRAWL_REPS", "2"))
+        plan = ["head"] * int(os.environ.get("BENCH_CRAWL_REPS", "2"))
     obs: dict[str, list] = {"head": [], "large": [], "small": []}
     loads = [os.getloadavg()[0]]
     waits = []
-    for i, (side, slots) in enumerate(plan):
+    window_log: list[dict] = []
+
+    def run_window(side: str) -> None:
+        """One measurement window; classifies itself clean/dirty.
+
+        Clean = the in-window mean 1-min loadavg stayed within the
+        window's OWN expected load (~2 per slot: one JVM thread + one
+        Arrow python worker, plus the driver) + headroom.  A dirty
+        window's timing is still kept (noise only slows — min over all
+        windows stays valid); the flag exists so the retry loop can buy
+        a clean window for a side that never got one, instead of
+        publishing whatever weather the base plan happened to sample
+        (recorded failure: all three 4-slot windows of one run saw
+        tenant load and the artifact showed 0.68 efficiency against a
+        same-day quiet-pair measurement of ~1.0).
+        """
+        slots = side_slots[side]
         waits.append(_wait_quiet())
-        sp = get_spark(f"bench-crawl-{side}-{i}", cores=slots, shuffle_partitions=nparts)
+        sp = get_spark(
+            f"bench-crawl-{side}-{len(window_log)}", cores=slots, shuffle_partitions=nparts
+        )
         nh, pd_dir = (n_hosts, pages_dir) if side == "head" else (scale_hosts, pages_scale_dir)
-        obs[side].append(crawl_bench(sp, n_hosts=nh, reps=1, pages_path=pd_dir))
+        with _LoadSampler() as ls:
+            r = crawl_bench(sp, n_hosts=nh, reps=1, pages_path=pd_dir)
         _stop(sp)
+        r["load_mean"], r["load_peak"] = ls.mean, ls.peak
+        r["clean"] = ls.mean <= 2 * slots + 3.0
+        obs[side].append(r)
+        window_log.append(
+            {"side": side, "slots": slots, "sec": r["rep_secs"][0],
+             "load_mean": ls.mean, "load_peak": ls.peak, "clean": r["clean"]}
+        )
         loads.append(os.getloadavg()[0])
+
+    for side in plan:
+        run_window(side)
+    # Retry pass: a side with NO clean window re-runs (bounded) — the
+    # min statistic needs at least one quiet sample per side to estimate
+    # the dedicated-cluster number.
+    retried = {"head": 0, "small": 0, "large": 0}
+    for side in ("small", "large", "head") if scaling_on else ("head",):
+        while not any(r["clean"] for r in obs[side]) and retried[side] < 2:
+            retried[side] += 1
+            run_window(side)
 
     urls = obs["head"][0]["urls"]
     head_secs = [s for r in obs["head"] for s in r["rep_secs"]]
@@ -384,6 +455,11 @@ def main() -> None:
         "headline_spread": round((max(head_secs) - best_head) / best_head, 3),
         "loadavg_1m_per_window": [round(x, 2) for x in loads],
         "quiet_wait_secs_per_window": waits,
+        # per-window noise evidence: in-window mean/peak 1-min loadavg,
+        # the clean/dirty classification, and how many extra windows the
+        # retry pass bought for sides whose base windows were all dirty
+        "windows": window_log,
+        "windows_retried": retried,
     }
 
     if scaling_on:
