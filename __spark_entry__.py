@@ -3182,3 +3182,150 @@ ORACLES.update(
 
 def oracle_sql() -> dict[str, str]:
     return dict(ORACLES)
+
+
+# ---------------------------------------------------------------------------
+# round-3 session additions: LM perplexity gate, corpus split, vocabulary
+# induction, point-in-time (as-of) capture lookup
+
+
+def q_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
+    # CCNet-style quality gate: hashed conditional-bigram LM trained on
+    # the lang='en' slice, every document scored by perplexity under it
+    from tripwire_spark.operators.lm import lm_perplexity, train_bigram_lm
+
+    d = _t(spark, sf, "documents")
+    model = train_bigram_lm(d.filter(F.col("lang") == "en"), "doc_id", "text", buckets=4096)
+    return lm_perplexity(d, model, "doc_id", "text", buckets=4096)
+
+
+def q_split_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    # deterministic train/val/test assignment: contiguous md5-bucket
+    # ranges over the doc id (stable under corpus growth)
+    from tripwire_spark.operators.packing import split_corpus
+
+    d = _t(spark, sf, "documents")
+    return split_corpus(d, {"train": 0.9, "val": 0.05, "test": 0.05}, "doc_id").select(
+        "doc_id", "split"
+    )
+
+
+def q_vocab_induce(spark: SparkSession, sf: str) -> DataFrame:
+    # frequency-induced seed vocabulary: global top-k tokens via
+    # TakeOrderedAndProject (never a full sort of the token table)
+    from tripwire_spark.operators.weighting import vocab_induce
+
+    return vocab_induce(_t(spark, sf, "documents"), "text", size=200, min_count=2)
+
+
+def q_asof_capture(spark: SparkSession, sf: str) -> DataFrame:
+    # wayback "closest at-or-before" semantics: CDX index built from a
+    # closed-form capture history, as-of joined against per-url queries
+    # (mixed-case urls exercise the SURT canonicalization on both sides)
+    from tripwire_spark.sources.warc import asof_lookup, build_cdx_index
+
+    c = _t(spark, sf, "customer")
+    k = F.col("c_custkey")
+    caps = (
+        c.select(k.alias("k"))
+        .select("k", F.explode(F.sequence(F.lit(0), F.pmod(F.col("k"), F.lit(3)))).alias("i"))
+        .select(
+            F.concat(F.lit("http://Site"), F.col("k"), F.lit(".Test/doc")).alias("url"),
+            (F.col("k") * 1000 + F.col("i") * 100).cast("long").alias("warc_ts"),
+            F.concat(
+                F.lit("body"), F.col("k"), F.lit("-"), F.floor(F.col("i") / 2)
+            ).cast("binary").alias("html"),
+        )
+    )
+    cdx = build_cdx_index(caps, url_col="url", ts_col="warc_ts", body_col="html", shards=8)
+    queries_df = c.select(
+        F.concat(F.lit("http://site"), k, F.lit(".test/doc")).alias("url"),
+        (k * 1000 + F.pmod(k, F.lit(4)) * 100 - 50).cast("long").alias("ts"),
+    )
+    return asof_lookup(cdx, queries_df, "url", "ts")
+
+
+QUERIES.update(
+    {
+        "lm_perplexity": q_lm_perplexity,
+        "split_corpus": q_split_corpus,
+        "vocab_induce": q_vocab_induce,
+        "asof_capture": q_asof_capture,
+    }
+)
+
+ORACLES.update(
+    {
+        "lm_perplexity": """
+            WITH toks AS (
+              SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\\s+') AS t
+              FROM documents),
+            g0 AS (
+              SELECT doc_id, lang,
+                     CASE WHEN len(t) >= 2
+                          THEN list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])
+                          ELSE [] END AS grams
+              FROM toks),
+            g AS (SELECT doc_id, lang, unnest(grams) AS gram FROM g0),
+            gb AS (
+              SELECT doc_id, lang,
+                     ('0x' || substr(md5(gram), 1, 8))::BIGINT % 4096 AS bg,
+                     ('0x' || substr(md5(string_split(gram, ' ')[1]), 1, 8))::BIGINT % 4096 AS cx
+              FROM g),
+            bgc AS (SELECT bg AS bucket, count(*) AS c_bg FROM gb WHERE lang = 'en' GROUP BY bg),
+            ctxc AS (SELECT cx AS bucket, count(*) AS c_ctx FROM gb WHERE lang = 'en' GROUP BY cx),
+            inst AS (
+              SELECT gb.doc_id,
+                     CAST(round((ln(CAST(coalesce(b.c_bg, 0) + 1 AS DOUBLE))
+                               - ln(CAST(coalesce(c.c_ctx, 0) + 4096 AS DOUBLE))) * 1000000.0, 0)
+                          AS BIGINT) AS lp
+              FROM gb LEFT JOIN bgc b ON gb.bg = b.bucket
+                      LEFT JOIN ctxc c ON gb.cx = c.bucket),
+            per AS (SELECT doc_id, count(*) AS n_grams, sum(lp) AS s FROM inst GROUP BY doc_id)
+            SELECT d.doc_id, CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+                   round(exp(-(p.s / 1000000.0) / p.n_grams), 6) AS ppl
+            FROM documents d LEFT JOIN per p USING (doc_id)
+        """,
+        "split_corpus": """
+            SELECT doc_id,
+                   CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < 9000
+                        THEN 'train'
+                        WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < 9500
+                        THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
+        "vocab_induce": """
+            WITH toks AS (
+              SELECT string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents),
+            tt AS (SELECT unnest(t) AS term FROM toks),
+            c AS (SELECT term, count(*) AS n FROM tt
+                  WHERE term <> '' GROUP BY term HAVING count(*) >= 2),
+            r AS (SELECT term, n, row_number() OVER (ORDER BY n DESC, term) AS token_id FROM c)
+            SELECT token_id, term AS token, CAST(n AS BIGINT) AS n
+            FROM r WHERE token_id <= 200
+        """,
+        "asof_capture": """
+            WITH ix AS (
+              SELECT c_custkey, unnest(range(0, (c_custkey % 3) + 1)) AS i FROM customer),
+            caps AS (
+              SELECT 'test,site' || c_custkey || ')/doc' AS surt_key,
+                     c_custkey * 1000 + i * 100 AS ts,
+                     'http://Site' || c_custkey || '.Test/doc' AS url,
+                     md5('body' || c_custkey || '-' || (i // 2)) AS digest
+              FROM ix),
+            q AS (
+              SELECT 'test,site' || c_custkey || ')/doc' AS surt_key,
+                     'http://site' || c_custkey || '.test/doc' AS q_url,
+                     c_custkey * 1000 + (c_custkey % 4) * 100 - 50 AS asof_ts
+              FROM customer),
+            m AS (
+              SELECT q.q_url AS url, q.asof_ts, c.ts AS capture_ts,
+                     c.url AS capture_url, c.digest,
+                     row_number() OVER (PARTITION BY q.q_url, q.asof_ts
+                                        ORDER BY c.ts DESC NULLS LAST, c.url) AS rn
+              FROM q LEFT JOIN caps c ON q.surt_key = c.surt_key AND c.ts <= q.asof_ts)
+            SELECT url, asof_ts, capture_ts, capture_url, digest FROM m WHERE rn = 1
+        """,
+    }
+)

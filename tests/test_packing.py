@@ -113,3 +113,22 @@ def test_md5_bucket_range(spark):
     vals = [r.b for r in spark.range(300).select(md5_bucket("id").alias("b")).collect()]
     assert all(0 <= v < 10_000 for v in vals)
     assert len(set(vals)) > 250  # near-uniform spread
+
+
+def test_split_corpus_fractions_and_stability(spark):
+    from tripwire_spark.operators.packing import split_corpus
+
+    d = _docs(spark, 500)
+    out = split_corpus(d, {"train": 0.8, "val": 0.1, "test": 0.1}, "doc_id")
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 500 - 0.8) < 0.08  # md5 uniformity at n=500
+    # growth stability: adding documents NEVER moves an existing doc's
+    # split (assignment depends only on the doc's own id hash)
+    small = {r.doc_id: r.split for r in split_corpus(d.limit(100), {"train": 0.8, "val": 0.1, "test": 0.1}, "doc_id").collect()}
+    full = {r.doc_id: r.split for r in out.collect()}
+    assert all(full[k] == v for k, v in small.items())
+    # remainder falls to the LAST split: fractions that do not sum to 1
+    out2 = split_corpus(d, {"train": 0.5, "rest": 0.1}, "doc_id")
+    c2 = {r.split: r.n for r in out2.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert c2["rest"] > 500 * 0.3  # got 0.5, not 0.1

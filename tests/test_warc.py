@@ -224,3 +224,42 @@ def test_streaming_curation_end_to_end(spark, tmp_path):
     batch = ingest_warc(spark, str(land)).withColumn("doc_id", F.xxhash64("url"))
     bv = sorted((r.verdict) for r in curation_verdicts(batch, id_col="doc_id", text_col="text").collect())
     assert bv == got
+
+
+def test_asof_lookup_closest_at_or_before(spark):
+    from tripwire_spark.sources.warc import asof_lookup, build_cdx_index
+    import pyspark.sql.functions as FF
+
+    caps = spark.createDataFrame(
+        [
+            ("http://A.test/x", 100, b"v1"),
+            ("http://a.test/x", 200, b"v2"),
+            ("http://www.a.test/x", 300, b"v3"),  # same SURT as a.test/x
+            ("http://b.test/y", 150, b"only"),
+        ],
+        "url string, warc_ts long, html binary",
+    )
+    cdx = build_cdx_index(caps, shards=2)
+    q = spark.createDataFrame(
+        [
+            ("http://a.test/x", 250),   # v2 (300 is in the future)
+            ("http://a.test/x", 300),   # v3 via the www-folded capture
+            ("http://a.test/x", 50),    # nothing yet -> NULLs
+            ("http://b.test/y", 9999),  # latest = only capture
+            ("http://c.test/z", 500),   # never captured -> NULLs
+        ],
+        "url string, ts long",
+    )
+    out = {(r.url, r.asof_ts): r for r in asof_lookup(cdx, q).collect()}
+    assert len(out) == 5
+    assert out[("http://a.test/x", 250)].capture_ts == 200
+    assert out[("http://a.test/x", 300)].capture_ts == 300
+    assert out[("http://a.test/x", 50)].capture_ts is None
+    assert out[("http://b.test/y", 9999)].capture_ts == 150
+    assert out[("http://c.test/z", 500)].capture_url is None
+    # digest rides through for change-detection consumers
+    import hashlib
+    assert out[("http://b.test/y", 9999)].digest == hashlib.md5(b"only").hexdigest()
+    # the index side is never shuffled; the query side broadcasts
+    plan = asof_lookup(cdx, q)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan

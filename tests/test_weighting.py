@@ -198,3 +198,29 @@ def test_sentence_segmentation(spark):
     got = {r.t: r.s for r in df.select("t", sentences(F.col("t")).alias("s")).collect()}
     for t, want in cases.items():
         assert got[t] == want, (t, got[t])
+
+
+def test_vocab_induce_rank_and_bounds(spark):
+    from tripwire_spark.operators.weighting import vocab_induce
+
+    d = _docs(spark)
+    v = vocab_induce(d, "text", size=5, min_count=2).collect()
+    assert [r.token_id for r in v] == list(range(1, len(v) + 1))
+    assert len(v) <= 5
+    # "the" dominates the fixture corpus
+    assert v[0].token == "the"
+    # ranks strictly by (n desc, token asc)
+    pairs = [(-r.n, r.token) for r in v]
+    assert pairs == sorted(pairs)
+    # min_count respected
+    assert all(r.n >= 2 for r in v)
+
+
+def test_vocab_induce_plan_is_topk_not_global_sort(spark):
+    from tripwire_spark.operators.weighting import vocab_induce
+
+    d = _docs(spark)
+    plan = vocab_induce(d, "text", size=5)._jdf.queryExecution().executedPlan().toString()
+    # the web-scale token table must go through distributed top-k, never
+    # a global Sort of all distinct tokens
+    assert "TakeOrderedAndProject" in plan, plan

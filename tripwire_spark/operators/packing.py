@@ -162,3 +162,34 @@ def pack_shards(
     return out.select(
         *docs.columns, offset, F.floor((F.col("__prefix") + F.col("__cum_in")) / budget).alias("shard")
     )
+
+
+def split_corpus(
+    docs: DataFrame,
+    fractions: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: one ``split`` column.
+
+    ``fractions`` maps split name -> share (must sum to <= 1; any
+    remainder falls into the LAST split, so the default 0.98/0.01/0.01
+    is exact).  Assignment is contiguous md5-bucket ranges over the doc
+    id — a pure projection: no shuffle, no RNG, and (the property that
+    matters for training) STABLE under corpus growth: a document's
+    split never changes when other documents are added or removed,
+    because it depends only on the doc's own id hash.  Split names are
+    assigned in dict order over [0, 10000) bucket ranges.
+    """
+    fractions = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
+    b = md5_bucket(id_col)
+    expr = None
+    lo = 0
+    names = list(fractions)
+    for name in names[:-1]:
+        hi = lo + int(round(fractions[name] * 10_000))
+        cond = b < F.lit(hi)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+        lo = hi
+    last = F.lit(names[-1])
+    split = last if expr is None else expr.otherwise(last)
+    return docs.withColumn("split", split)

@@ -272,3 +272,39 @@ def mixture_sample(
         .filter(md5_bucket(id_col) < F.floor(F.col("__frac") * 10000))
         .drop("__frac")
     )
+
+
+def vocab_induce(
+    docs: DataFrame,
+    text_col: str = "text",
+    size: int = 1000,
+    min_count: int = 2,
+) -> DataFrame:
+    """Frequency-induced vocabulary: the top-``size`` whitespace tokens
+    by corpus count (ties broken by token ascending), ids assigned in
+    rank order — the deterministic seed vocabulary a tokenizer trainer
+    (BPE/unigram) starts from, and the lookup table OOV-rate reports
+    are computed against.
+
+    Output: (token_id, token, n) with token_id = 1..size.
+
+    Plan: explode -> ONE partial-agg groupBy(token) (Zipf skew absorbed
+    map-side: "the" enters the exchange once per partition) -> global
+    top-``size`` via orderBy().limit() — Catalyst compiles that to
+    TakeOrderedAndProject (each partition keeps its local top-``size``,
+    the driver merges), so the web-scale distinct-token table (typos,
+    URLs — billions of rows at 100 TB) is never globally sorted and
+    never funnels through one partition.  Only the ``size`` survivors
+    enter the id-assignment window.
+    """
+    counts = (
+        _doc_terms(docs.select(F.lit(1).alias("__one"), text_col), "__one", text_col)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+    top = counts.orderBy(F.col("n").desc(), F.col("term")).limit(size)
+    w = Window.orderBy(F.col("n").desc(), F.col("term"))  # over <= size rows
+    return top.select(
+        F.row_number().over(w).alias("token_id"), F.col("term").alias("token"), "n"
+    )

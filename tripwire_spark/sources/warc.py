@@ -296,3 +296,70 @@ def build_cdx_index(
     return keyed.repartitionByRange(shards, "surt_key", "ts").sortWithinPartitions(
         "surt_key", "ts"
     )
+
+
+def asof_lookup(
+    cdx: DataFrame,
+    queries: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Point-in-time capture retrieval: for each (url, as-of ts) query,
+    the LATEST capture at or before that timestamp — the wayback
+    "closest before" semantics every replay/diff tool speaks, and the
+    canonical **as-of join** Spark lacks as a built-in.
+
+    ``cdx``: output of ``build_cdx_index`` (surt_key, ts, url, digest).
+    ``queries``: (url, ts) — urls are SURT-canonicalized here so callers
+    pass plain urls.  Output: one row per query
+    (url, asof_ts, capture_ts, capture_url, digest) with NULL capture
+    columns when no capture precedes the asked-for instant (the query
+    row is never silently dropped).
+
+    Plan shape: the query side of a wayback workload is tiny against a
+    petabyte index, so it BROADCASTS as the build side of an INNER join
+    keyed on surt_key — the index side is never shuffled (and, being
+    range-partitioned by surt_key on disk, scan pruning applies before
+    the join).  A left-outer join could not do this (Spark cannot
+    broadcast the preserved side), so never-matched queries are stitched
+    back by an anti join between two query-sized frames.  The per-query
+    argmax window runs over the matched captures only: partition count =
+    query count, never index size.
+    """
+    from pyspark.sql import Window
+
+    from tripwire_spark.functions.urls import surt
+
+    q = queries.select(
+        surt(url_col).alias("q_key"),
+        F.col(url_col).alias("q_url"),
+        F.col(ts_col).alias("asof_ts"),
+    )
+    c = cdx.select("surt_key", "ts", F.col("url").alias("capture_url"), "digest")
+    hit = c.join(
+        F.broadcast(q), (q["q_key"] == c["surt_key"]) & (c["ts"] <= q["asof_ts"]), "inner"
+    )
+    w = Window.partitionBy("q_url", "asof_ts").orderBy(
+        F.col("ts").desc(), F.col("capture_url")
+    )
+    best = (
+        hit.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("q_url").alias("url"),
+            "asof_ts",
+            F.col("ts").alias("capture_ts"),
+            "capture_url",
+            "digest",
+        )
+    )
+    missed = q.join(
+        best.select(F.col("url").alias("q_url"), "asof_ts"), ["q_url", "asof_ts"], "left_anti"
+    ).select(
+        F.col("q_url").alias("url"),
+        "asof_ts",
+        F.lit(None).cast(best.schema["capture_ts"].dataType).alias("capture_ts"),
+        F.lit(None).cast("string").alias("capture_url"),
+        F.lit(None).cast("string").alias("digest"),
+    )
+    return best.unionByName(missed)
