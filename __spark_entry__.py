@@ -3329,3 +3329,18 @@ ORACLES.update(
         """,
     }
 )
+
+
+def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    # SemDeDup: embedding-cluster + intra-cluster cosine pairs ->
+    # one-survivor-per-component keep list.  rows-only by declared
+    # design (the trained k-means quantizer is not SQL-restatable);
+    # true-positive + planted-dup recall pinned by
+    # tests/test_dedup_similarity.py::test_semantic_dedup_finds_planted_dups
+    from tripwire_spark.operators.similarity import semantic_dedup_keep
+
+    e = _t(spark, sf, "embeddings")
+    return semantic_dedup_keep(e, "vec_id", "embedding", threshold=0.95, n_centroids=8)
+
+
+QUERIES.update({"semantic_dedup": q_semantic_dedup})

@@ -249,3 +249,45 @@ def test_minhash_corpus_index_incremental_lifecycle(spark, tmp_path):
 
     p2 = {(r.doc_a, r.doc_b) for r in idx.dedup_batch(b2, "doc", "text").collect()}
     assert p2 == {(1, 201), (101, 201)}  # corpus AND previously appended batch
+
+
+def test_semantic_dedup_finds_planted_dups(spark):
+    from tripwire_spark.operators.dedup import embedding_dup_pairs_brute
+    from tripwire_spark.operators.similarity import semantic_dedup_keep, semantic_dup_pairs
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet").limit(120)
+    # plant near-identical copies (id+1000) of the first 10 vectors
+    pert = e.limit(10).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at(F.col("embedding").cast("array<double>"), 1) + F.lit(0.01)),
+            F.slice(F.col("embedding").cast("array<double>"), 2, 63),
+        ).alias("embedding"),
+    )
+    aug = e.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")).unionAll(pert)
+    pairs = semantic_dup_pairs(aug, "vec_id", "embedding", threshold=0.995, n_centroids=4)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    planted = {(i, i + 1000) for i in range(10)}
+    # clustering partitions the space: recall < 1 only for BOUNDARY
+    # pairs; near-identical vectors co-assign, so all planted pairs land
+    assert planted <= got, planted - got
+    # every emitted pair is a true positive vs the exact verifier
+    brute = {
+        (r.id_a, r.id_b)
+        for r in embedding_dup_pairs_brute(aug, "vec_id", "embedding", 0.995).collect()
+    }
+    assert got <= brute
+    # keep-list: exactly one survivor per duplicate component
+    keep = {r.doc_id: r.keep for r in semantic_dedup_keep(
+        aug, "vec_id", "embedding", threshold=0.995, n_centroids=4).collect()}
+    for i in range(10):
+        assert keep[i] and not keep[i + 1000]
+
+
+def test_semantic_dedup_deterministic(spark):
+    from tripwire_spark.operators.similarity import semantic_dup_pairs
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet").limit(80)
+    a = sorted(map(tuple, semantic_dup_pairs(e, threshold=0.7, n_centroids=4).collect()))
+    b = sorted(map(tuple, semantic_dup_pairs(e.repartition(7), threshold=0.7, n_centroids=4).collect()))
+    assert a == b

@@ -252,3 +252,71 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "cid", F.round("cos", 6).alias("cos"), "rank")
     )
+
+
+# --- SemDeDup (semantic dedup) ---------------------------------------------
+
+
+def semantic_dup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    iters: int = 5,
+    sample_mod: int = 1,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023):
+    cluster the embedding space with the IVF coarse quantizer, then
+    compare vectors ONLY within their cluster — two documents are
+    semantic duplicates when their cosine exceeds ``threshold``.
+
+    Returns (doc_a, doc_b, cos) with doc_a < doc_b.
+
+    Scale shape — the reason SemDeDup clusters at all: all-pairs cosine
+    over N documents is N^2; within-cluster pairs are sum_c n_c^2 ~=
+    N^2/k, and the cluster assignment itself is map-only (one BLAS
+    matmul per Arrow batch against the broadcast k x dim centroids).
+    The pair join shuffles (cell, id, vec) once, keyed by cell; a skewed
+    giant cell is the operator's known failure mode, so pick
+    n_centroids ~ sqrt(N) and let AQE's skew-join handle stragglers.
+    Like the paper, this FINDS the duplicate relation; the keep policy
+    is ``semantic_dedup_keep`` so policy stays separately testable.
+    """
+    cents = kmeans_centroids(corpus, id_col, vec_col, n_centroids, iters, sample_mod)
+    cell = _nearest_cells(cents, 1)
+    v = corpus.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    ).withColumn("cell", F.element_at(cell(F.col("vec")), 1))
+    a = v.select("cell", F.col("id").alias("doc_a"), F.col("vec").alias("va"))
+    b = v.select("cell", F.col("id").alias("doc_b"), F.col("vec").alias("vb"))
+    return (
+        a.join(b, "cell")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("doc_a", "doc_b", "cos")
+    )
+
+
+def semantic_dedup_keep(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    iters: int = 5,
+    sample_mod: int = 1,
+) -> DataFrame:
+    """Per-document keep/drop verdicts from semantic duplicate pairs:
+    transitive closure over the pair graph (alternating star, O(log n)
+    rounds), one canonical survivor per component — the same keep
+    machinery the MinHash/SimHash families feed
+    (clustering.dedup_keep_list)."""
+    from tripwire_spark.operators.clustering import dedup_keep_list
+
+    pairs = semantic_dup_pairs(
+        corpus, id_col, vec_col, threshold, n_centroids, iters, sample_mod
+    )
+    return dedup_keep_list(pairs, corpus.select(F.col(id_col)), id_col)
