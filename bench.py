@@ -19,6 +19,8 @@ import re
 import sys
 import time
 
+_BENCH_T0 = time.time()
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -444,14 +446,34 @@ def main() -> None:
         )
         loads.append(os.getloadavg()[0])
 
+    # Total wall budget: the 3x scaling shape pushes a full run toward
+    # ~1 h; if the box is slow (tenant load stretching every window),
+    # degrade gracefully — once EVERY side has at least one window,
+    # skip the remaining planned windows rather than risk an unfinished
+    # run with no JSON at all.  min-over-windows stays valid with one
+    # window per side; the budget skips only extra samples.  The clock
+    # anchors at process start (_BENCH_T0), so generation + headline
+    # queries count against it too.
+    bench_t0 = _BENCH_T0
+    budget_s = float(os.environ.get("BENCH_MAX_SECS", "4800"))
+
+    def over_budget() -> bool:
+        return time.time() - bench_t0 > budget_s
+
+    budget_skipped = 0
     for side in plan:
+        if over_budget() and all(obs[s] for s in set(plan)):
+            budget_skipped += 1
+            continue
         run_window(side)
     # Retry pass: a side with NO clean window re-runs (bounded) — the
     # min statistic needs at least one quiet sample per side to estimate
     # the dedicated-cluster number.
     retried = {"head": 0, "small": 0, "large": 0}
     for side in ("small", "large", "head") if scaling_on else ("head",):
-        while not any(r["clean"] for r in obs[side]) and retried[side] < 2:
+        while (
+            not any(r["clean"] for r in obs[side]) and retried[side] < 2 and not over_budget()
+        ):
             retried[side] += 1
             run_window(side)
 
@@ -477,6 +499,7 @@ def main() -> None:
         # retry pass bought for sides whose base windows were all dirty
         "windows": window_log,
         "windows_retried": retried,
+        "windows_budget_skipped": budget_skipped,
     }
 
     if scaling_on:
