@@ -32,6 +32,7 @@ round-trips, not data volume, once the per-round claim set is bounded.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -475,7 +476,15 @@ def run_crawl(
         # executing twice per round).  Eager localCheckpoint runs the
         # parse exactly once and hands every consumer the same RDD
         # blocks by identity — no plan-matching, no race.
-        parsed = fetch_extract(claimed, pages).localCheckpoint(eager=True)
+        # (Job descriptions name each round's driver actions so event-log
+        # profiling can attribute stages; zero cost otherwise.)
+        _explain = os.environ.get("TRIPWIRE_CRAWL_EXPLAIN") == "1"
+        parsed_df = fetch_extract(claimed, pages)
+        if _explain:
+            print(f"==== round {r} parsed plan ====")
+            parsed_df.explain("formatted")
+        spark.sparkContext.setJobDescription(f"round {r}: fetch+extract checkpoint")
+        parsed = parsed_df.localCheckpoint(eager=True)
         # (qid, round_added) is the frontier's unique key — qid alone can
         # collide between a seed (file_order) and a discovery (url_hash)
         misses = claimed.join(
@@ -595,6 +604,10 @@ def run_crawl(
             # those caches live until the crawl ends (crawl_caches),
             # not until the round ends.  The snapshot-table path instead
             # rewrites state to disk and can drop caches per round.
+            if _explain:
+                print(f"==== round {r} settled-frontier plan ====")
+                state.frontier.explain("formatted")
+            spark.sparkContext.setJobDescription(f"round {r}: settle+admit frontier checkpoint")
             state.frontier = state.frontier.localCheckpoint(eager=True)
             if state_delta is not None:
                 # Prior segments are untouched; the delta is backed by
@@ -653,6 +666,7 @@ def run_crawl(
         else:
             crawl_caches.extend(round_caches)
 
+    spark.sparkContext.setJobDescription(None)
     if seen_state_df is not None and tables:
         seen_state_df.unpersist()
     state.assignments = assignments
