@@ -333,6 +333,19 @@ def main() -> None:
     n_hosts = max(2000, int(600_000 * sf))
     slots_head = max(4, min(8, cores // 4))
     nparts = 2 * slots_head
+    # Pages-file granularity: the fetch+extract stage's task count IS
+    # the pages-scan split count (one ~60 MB row-group file = one
+    # unsplittable task).  At 16 files / 8 slots that is TWO waves, and
+    # the wall of each parse is max-of-wave (measured task skew within
+    # the stage: p50 9.2 s vs max 14.1 s — claimed pages cluster by
+    # host into few splits).  64 files (~15-24 MB each) + a matching
+    # maxPartitionBytes cap (so FilePartition packing doesn't glue them
+    # back together) turns the parse into 8 fine waves whose tail is
+    # ~1/8 of a wave.  Same knob a 100 TB run uses: split the scan
+    # finer than the executor count when per-row (UDF) cost dominates
+    # the scan cost.
+    gen_parts = int(os.environ.get("BENCH_PAGES_FILES", "64"))
+    crawl_conf = {"spark.sql.files.maxPartitionBytes": str(24 * 1024 * 1024)}
 
     # The pages table is generated once and written to parquet; every
     # session below (headline + all scaling windows) reads the SAME
@@ -369,12 +382,12 @@ def main() -> None:
     from tripwire_spark.sources.synth import synth_pages
 
     synth_pages(
-        spark_g, n_hosts=n_hosts, n_pages=10, n_links=30, n_words=1200, num_partitions=nparts
+        spark_g, n_hosts=n_hosts, n_pages=10, n_links=30, n_words=1200, num_partitions=gen_parts
     ).write.mode("overwrite").parquet(pages_dir)
     if scaling_on:
         synth_pages(
             spark_g, n_hosts=scale_hosts, n_pages=10, n_links=30, n_words=1200,
-            num_partitions=nparts,
+            num_partitions=gen_parts,
         ).write.mode("overwrite").parquet(pages_scale_dir)
     _stop(spark_g)
 
@@ -440,7 +453,8 @@ def main() -> None:
         slots = side_slots[side]
         waits.append(_wait_quiet())
         sp = get_spark(
-            f"bench-crawl-{side}-{len(window_log)}", cores=slots, shuffle_partitions=nparts
+            f"bench-crawl-{side}-{len(window_log)}", cores=slots, shuffle_partitions=nparts,
+            extra_conf=crawl_conf,
         )
         nh, pd_dir = (n_hosts, pages_dir) if side == "head" else (scale_hosts, pages_scale_dir)
         with _LoadSampler() as ls:

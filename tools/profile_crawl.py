@@ -38,6 +38,7 @@ def main() -> None:
     ap.add_argument("--budget", type=int, default=6)
     ap.add_argument("--eventlog-dir", default="/tmp/crawl_eventlog")
     ap.add_argument("--skip-warmup", action="store_true")
+    ap.add_argument("--mpb", type=int, default=None, help="spark.sql.files.maxPartitionBytes")
     args = ap.parse_args()
 
     os.makedirs(args.eventlog_dir, exist_ok=True)
@@ -55,6 +56,10 @@ def main() -> None:
         .config("spark.eventLog.compress", "false")
         .config("spark.eventLog.rolling.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            str(args.mpb) if args.mpb else str(128 * 1024 * 1024),
+        )
         .getOrCreate()
     )
     app_id = spark.sparkContext.applicationId
