@@ -27,10 +27,18 @@ state).
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 from pathlib import Path
 
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+try:
+    # The production import source: the ``--py-files`` zip (spark-submit
+    # puts it on the driver's sys.path before this script runs) or an
+    # installed package.  The repo-root insert is a dev-run fallback
+    # only, so a packaging break cannot be masked by the checkout.
+    import tripwire_spark  # noqa: F401
+except ModuleNotFoundError:
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def _read_pages(spark, ref: str):
@@ -57,16 +65,23 @@ def main() -> int:
                     help="generate N synthetic hosts instead of --pages/--seeds")
     args = ap.parse_args()
 
-    # getOrCreate: under spark-submit the session (master, executors,
-    # memory) is fully described by the submit command; local runs fall
-    # back to the library factory's local[*] tuning.
+    # Under spark-submit the JVM gateway already exists (spark-submit
+    # launches PythonRunner, which exports PYSPARK_GATEWAY_PORT) and the
+    # session conf — master, executor count, memory — is fully described
+    # by the submit command line, so a bare getOrCreate inherits it; the
+    # library factory (which pins its own local[*] master) is the
+    # plain-`python` dev fallback only.
     from pyspark.sql import SparkSession
 
     spark = SparkSession.getActiveSession()
     if spark is None:
-        from tripwire_spark.session import get_spark
+        if "PYSPARK_GATEWAY_PORT" in os.environ:
+            spark = SparkSession.builder.appName("tripwire-crawl").getOrCreate()
+            spark.sparkContext.setLogLevel("WARN")
+        else:
+            from tripwire_spark.session import get_spark
 
-        spark = get_spark("tripwire-crawl")
+            spark = get_spark("tripwire-crawl")
 
     from tripwire_spark.operators.crawl import crawl_metrics, run_crawl
     from tripwire_spark.sources.synth import (
