@@ -469,6 +469,22 @@ def q_doc_quality(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_doc_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    # Character-distribution quality signals: Shannon entropy of the
+    # 38-bucket lowercased char distribution + alnum ratio (pure
+    # scan-side exprs; textstats.entropy_features).
+    from tripwire_spark.operators import textstats as TS
+
+    d = _t(spark, sf, "documents")
+    feats = TS.entropy_features(F.col("text"))
+    return d.select(
+        "doc_id",
+        feats["n_chars"].alias("n_chars"),
+        F.round(feats["char_entropy"], 6).alias("char_entropy"),
+        F.round(feats["alnum_ratio"], 6).alias("alnum_ratio"),
+    )
+
+
 def q_doc_repetition(spark: SparkSession, sf: str) -> DataFrame:
     # Gopher repetition gates: dup-line / dup-2gram / top-2gram fractions
     from tripwire_spark.operators import textstats as TS
@@ -1865,6 +1881,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "doc_quality": q_doc_quality,
     "doc_repetition": q_doc_repetition,
+    "doc_entropy": q_doc_entropy,
     "decontaminate": q_decontaminate,
     "incremental_dedup": q_incremental_dedup,
     "span_dedup": q_span_dedup,
@@ -2144,6 +2161,23 @@ _CURATION_CTES = f"""toks AS (
                           WHEN rn > 1 THEN 'duplicate'
                           ELSE 'keep' END AS verdict
               FROM feat2)"""
+
+def _doc_entropy_oracle() -> str:
+    # Built by textstats.entropy_sql — the SAME loop that builds the
+    # Spark expression tree, so the entropy sum's float fold order is
+    # identical term-for-term in both engines.
+    from tripwire_spark.operators.textstats import entropy_sql
+
+    e = entropy_sql("text")
+    return f"""
+        SELECT doc_id, {e['n_chars']} AS n_chars,
+               round({e['char_entropy']}, 6) AS char_entropy,
+               round({e['alnum_ratio']}, 6) AS alnum_ratio
+        FROM documents
+    """
+
+
+ORACLES["doc_entropy"] = _doc_entropy_oracle()
 
 ORACLES.update(
     {

@@ -108,6 +108,80 @@ def quality_features(text: Column) -> dict[str, Column]:
     }
 
 
+# Character alphabet for the entropy/alnum quality signals.  Lowercase
+# letters + digits + space; everything else (punctuation, unicode)
+# collapses into ONE "other" bucket, so the distribution has a fixed 38
+# buckets and the whole computation is a scan-side projection.
+ENTROPY_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789 "
+
+
+def entropy_features(text: Column) -> dict[str, Column]:
+    """Character-distribution quality signals (CCNet/Gopher-adjacent):
+
+    - ``char_entropy``: Shannon entropy (bits) of the lowercased
+      character distribution over ``ENTROPY_ALPHABET`` + one OTHER
+      bucket.  Low entropy flags boilerplate/keyword-stuffed/repeated
+      -character junk; near-max entropy flags encoded blobs.
+    - ``alnum_ratio``: fraction of characters that are [a-z0-9] after
+      lowercasing — the classic symbol-soup gate.
+
+    Pure column expressions: per-char counts come from 37
+    ``length(replace(s, c, ''))`` deltas, so Catalyst codegens the whole
+    thing into the scan stage — no UDF, no explode, no shuffle — and the
+    DuckDB oracle twin is the SAME formula term-for-term (both engines
+    fold the entropy sum left-to-right; 6-dp rounding absorbs the
+    <=1e-12 cross-libm drift).  ~37 string passes/row is scan-speed at
+    100 TB: it is per-row map work on a column the scan already read.
+    """
+    s = F.lower(text)
+    n = F.length(s)
+    counts = [n - F.length(F.replace(s, F.lit(c), F.lit(""))) for c in ENTROPY_ALPHABET]
+    alnum = None
+    for c, cnt in zip(ENTROPY_ALPHABET, counts):
+        if c != " ":
+            alnum = cnt if alnum is None else alnum + cnt
+    covered = None
+    for cnt in counts:
+        covered = cnt if covered is None else covered + cnt
+    buckets = counts + [n - covered]
+    nd = n.cast("double")
+    ent = None
+    for cnt in buckets:
+        p = cnt.cast("double") / nd
+        term = F.when(cnt > 0, -p * F.log2(p)).otherwise(F.lit(0.0))
+        ent = term if ent is None else ent + term
+    return {
+        "n_chars": n.cast("long"),
+        "char_entropy": F.when(n > 0, ent).otherwise(F.lit(0.0)),
+        "alnum_ratio": F.when(n > 0, alnum.cast("double") / nd).otherwise(F.lit(0.0)),
+    }
+
+
+def entropy_sql(text_expr: str) -> dict[str, str]:
+    """ANSI-SQL twins of :func:`entropy_features`, built by the same
+    loop so the term ORDER (and therefore the float fold) matches the
+    Spark plan exactly."""
+    s = f"lower({text_expr})"
+    n = f"length({s})"
+    def cnt(c: str) -> str:
+        lit = "' '" if c == " " else f"'{c}'"
+        return f"({n} - length(replace({s}, {lit}, '')))"
+    counts = [cnt(c) for c in ENTROPY_ALPHABET]
+    alnum = " + ".join(cnt(c) for c in ENTROPY_ALPHABET if c != " ")
+    covered = " + ".join(counts)
+    buckets = counts + [f"({n} - ({covered}))"]
+    terms = []
+    for c in buckets:
+        p = f"(CAST({c} AS DOUBLE) / {n})"
+        terms.append(f"CASE WHEN {c} > 0 THEN -{p} * log2({p}) ELSE 0.0 END")
+    ent = " + ".join(terms)
+    return {
+        "n_chars": f"CAST({n} AS BIGINT)",
+        "char_entropy": f"CASE WHEN {n} > 0 THEN {ent} ELSE 0.0 END",
+        "alnum_ratio": f"CASE WHEN {n} > 0 THEN CAST({alnum} AS DOUBLE) / {n} ELSE 0.0 END",
+    }
+
+
 def repetition_features(text: Column) -> dict[str, Column]:
     """Gopher-style repetition gates (Rae et al. 2021, app. A1.1),
     word-level so the DuckDB oracle twin is exact:
