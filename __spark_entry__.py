@@ -485,6 +485,23 @@ def q_doc_entropy(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_c4_line_clean(spark: SparkSession, sf: str) -> DataFrame:
+    # C4 line-level cleaning (Raffel et al. 2020 sec. 2.2): terminal
+    # -punctuation + >=5-word + no-javascript line gates, lorem-ipsum /
+    # curly-brace / <3-sentence page gates (textstats.c4_line_filters).
+    from tripwire_spark.operators import textstats as TS
+
+    d = _t(spark, sf, "documents")
+    feats = TS.c4_line_filters(F.col("text"))
+    return d.select(
+        "doc_id",
+        feats["n_lines"].alias("n_lines"),
+        feats["n_kept"].alias("n_kept"),
+        feats["cleaned_md5"].alias("cleaned_md5"),
+        feats["keep"].alias("keep"),
+    )
+
+
 def q_doc_repetition(spark: SparkSession, sf: str) -> DataFrame:
     # Gopher repetition gates: dup-line / dup-2gram / top-2gram fractions
     from tripwire_spark.operators import textstats as TS
@@ -1882,6 +1899,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_quality": q_doc_quality,
     "doc_repetition": q_doc_repetition,
     "doc_entropy": q_doc_entropy,
+    "c4_line_clean": q_c4_line_clean,
     "decontaminate": q_decontaminate,
     "incremental_dedup": q_incremental_dedup,
     "span_dedup": q_span_dedup,
@@ -2178,6 +2196,34 @@ def _doc_entropy_oracle() -> str:
 
 
 ORACLES["doc_entropy"] = _doc_entropy_oracle()
+
+# C4 line cleaning: same gates, RE2-safe patterns (no lookarounds), and
+# the cleaned text compared by md5 so the oracle never ships full bodies.
+ORACLES["c4_line_clean"] = r"""
+    WITH l AS (
+      SELECT doc_id, lower(text) AS low,
+             list_filter(string_split(text, chr(10)),
+                         x -> length(trim(x)) > 0) AS nl,
+             list_filter(string_split(text, chr(10)), x ->
+                 regexp_matches(trim(x), '[.!?"]$')
+                 AND len(string_split_regex(trim(x), '\s+')) >= 5
+                 AND NOT contains(lower(trim(x)), 'javascript')) AS kept
+      FROM documents),
+    j AS (
+      SELECT doc_id, low, nl, kept,
+             -- array_to_string([]) is NULL in DuckDB; Spark array_join is ''
+             coalesce(array_to_string(kept, chr(10)), '') AS cleaned
+      FROM l)
+    SELECT doc_id,
+           CAST(len(nl) AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           md5(cleaned) AS cleaned_md5,
+           (len(kept) > 0
+            AND NOT contains(low, 'lorem ipsum')
+            AND NOT contains(low, '{')
+            AND len(regexp_extract_all(cleaned, '[.!?]')) >= 3) AS keep
+    FROM j
+"""
 
 ORACLES.update(
     {

@@ -54,6 +54,36 @@ def test_char_entropy_mixed_distribution(spark):
     assert row.alnum_ratio == 1.0
 
 
+def test_c4_line_filters_hand_traced(spark):
+    from tripwire_spark.operators.textstats import c4_line_filters
+
+    good = "This line has five good words.\nAnother fine sentence ends here!\nA third proper sentence follows now?"
+    docs = [
+        (0, good),                                   # all 3 lines survive -> keep
+        (1, "short line.\n" + good),                 # <5 words line dropped, page kept
+        (2, good + "\nenable javascript to view."),  # javascript line dropped
+        (3, good.replace(".", "")),                  # '.' line dropped; '!' and '?' survive
+        (4, good + "\nlorem ipsum dolor sit amet."), # page gate: lorem ipsum
+        (5, good + "\nfunction f() { return; }"),    # page gate: curly brace
+        (6, "Only two sentences live here.\nAnd this is the second one."),  # <3 sentences
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    feats = c4_line_filters(F.col("text"))
+    rows = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id", *(feats[k].alias(k) for k in ("n_lines", "n_kept", "keep"))
+        ).collect()
+    }
+    assert (rows[0].n_lines, rows[0].n_kept, rows[0].keep) == (3, 3, True)
+    assert (rows[1].n_kept, rows[1].keep) == (3, True)
+    assert (rows[2].n_kept, rows[2].keep) == (3, True)
+    assert (rows[3].n_kept, rows[3].keep) == (2, False)  # 2 sentences < 3
+    assert rows[4].keep is False and rows[4].n_kept == 4  # line gates pass, page gate kills
+    assert rows[5].keep is False
+    assert (rows[6].n_kept, rows[6].keep) == (2, False)
+
+
 def test_space_counts_in_alphabet_not_alnum(spark):
     (row,) = _entropies(spark, ["a a"])  # a:2/3, space:1/3
     expect = -(2 / 3) * math.log2(2 / 3) - (1 / 3) * math.log2(1 / 3)

@@ -182,6 +182,52 @@ def entropy_sql(text_expr: str) -> dict[str, str]:
     }
 
 
+def c4_line_filters(text: Column) -> dict[str, Column]:
+    """C4 line-level cleaning heuristics (Raffel et al. 2020, sec. 2.2):
+
+    - keep only lines that end in terminal punctuation (``. ! ? "``),
+      have >= 5 words, and do not contain the word "javascript";
+    - drop the PAGE if nothing survives, if it contains "lorem ipsum"
+      or a curly brace, or if the cleaned text has < 3 sentences.
+
+    Returns ``n_lines`` (non-empty input lines), ``n_kept`` (surviving
+    lines), ``cleaned_md5`` (fingerprint of the newline-rejoined cleaned
+    text — pins the exact cleaned bytes without shipping them through
+    the oracle compare), and ``keep`` (the page verdict).
+
+    Pure column expressions; the HOF lambdas reference only their
+    element variable (no outer-array capture — see the repetition-gate
+    recapture note), so this stays one codegen'd scan-side projection
+    at 100 TB.  The C4 bad-word page filter is the blacklist operator's
+    job (F1) and is not duplicated here.
+    """
+    lines = F.split(text, "\n")
+
+    def _line_ok(l: Column) -> Column:
+        t = F.trim(l)
+        return (
+            t.rlike('[.!?"]$')
+            & (F.size(F.split(t, r"\s+")) >= 5)
+            & ~F.lower(t).contains("javascript")
+        )
+
+    kept = F.filter(lines, _line_ok)
+    cleaned = F.array_join(kept, "\n")
+    low = F.lower(text)
+    n_sentences = F.regexp_count(cleaned, F.lit(r"[.!?]"))
+    return {
+        "n_lines": F.size(F.filter(lines, lambda l: F.length(F.trim(l)) > 0)).cast("long"),
+        "n_kept": F.size(kept).cast("long"),
+        "cleaned_md5": F.md5(cleaned),
+        "keep": (
+            (F.size(kept) > 0)
+            & ~low.contains("lorem ipsum")
+            & ~low.contains("{")
+            & (n_sentences >= 3)
+        ),
+    }
+
+
 def repetition_features(text: Column) -> dict[str, Column]:
     """Gopher-style repetition gates (Rae et al. 2021, app. A1.1),
     word-level so the DuckDB oracle twin is exact:
