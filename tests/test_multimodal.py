@@ -135,3 +135,37 @@ def test_bmp_roundtrip_fuzz():
         assert (decode_bmp(encode_bmp(arr)) == arr).all()
 
     roundtrip()
+
+
+def test_perceptual_dup_pairs(spark):
+    import numpy as np
+
+    from tripwire_spark.operators.multimodal import (
+        encode_bmp,
+        perceptual_dup_pairs,
+        perceptual_hash,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    near = base.copy()
+    near[:2, :2] ^= 1  # flip low bits in one corner block only
+    far = 255 - base   # inverted: every block mean flips side
+    rows = [
+        (0, "image", bytearray(encode_bmp(base)), 32, 32, None, None),
+        (1, "image", bytearray(encode_bmp(near)), 32, 32, None, None),
+        (2, "image", bytearray(encode_bmp(far)), 32, 32, None, None),
+        (3, "image", bytearray(b"\x89PNG junk"), 4, 4, None, None),  # undecodable -> dropped
+        (4, "audio", bytearray(b"RIFF junk"), None, None, 16000, 1000),
+    ]
+    from tripwire_spark.operators.multimodal import MEDIA_SCHEMA
+
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    sigs = {r.media_id: r.ahash for r in perceptual_hash(media).collect()}
+    assert set(sigs) == {0, 1, 2}  # PNG + audio rows dropped
+    assert bin((sigs[0] ^ sigs[1]) & ((1 << 64) - 1)).count("1") <= 2
+
+    pairs = perceptual_dup_pairs(media, max_hamming=5).collect()
+    assert {(p.media_a, p.media_b) for p in pairs} == {(0, 1)}
+    # determinism across runs
+    assert sigs == {r.media_id: r.ahash for r in perceptual_hash(media).collect()}

@@ -273,6 +273,76 @@ def resize_thumbnails(media: DataFrame, max_side: int = 16) -> DataFrame:
     return media.filter(F.col("kind") == "image").mapInPandas(run, schema=THUMB_SCHEMA)
 
 
+PHASH_SCHEMA = "media_id long, ahash long"
+
+
+def _ahash_bits(arr: np.ndarray, side: int = 8) -> int:
+    """Average-hash: grayscale -> side x side block means -> bit i set
+    where block i's mean exceeds the global block mean.  Exact-integer
+    -free but deterministic: reduceat block sums over float64 with a
+    fixed traversal order."""
+    gray = arr.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    ri = (np.arange(side) * h) // side
+    ci = (np.arange(side) * w) // side
+    blocks = np.add.reduceat(np.add.reduceat(gray, ri, axis=0), ci, axis=1)
+    rs = np.diff(np.append(ri, h)).astype(np.float64)
+    cs = np.diff(np.append(ci, w)).astype(np.float64)
+    means = blocks / np.outer(rs, cs)
+    bits = (means > means.mean()).flatten()
+    v = 0
+    for i, b in enumerate(bits):
+        if b:
+            v |= 1 << i
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def perceptual_hash(media: DataFrame, side: int = 8) -> DataFrame:
+    """64-bit average-hash per decodable image (media_id, ahash).
+
+    Blobs the container cannot decode are DROPPED (a near-dup verdict
+    over fake bytes would be noise, unlike the stats/thumbnail paths
+    where an opaque row is still useful).  Iterator-form mapInPandas,
+    one Arrow batch of blobs in memory per task; at 100 TB the hash is
+    computed next to the bytes and only 16 bytes/row leave the scan."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                cb = bytes(c) if c is not None else b""
+                if cb[:2] != b"BM":
+                    continue
+                try:
+                    arr = decode_bmp(cb)
+                except NotImplementedError:
+                    continue
+                ids.append(mid)
+                hashes.append(_ahash_bits(arr, side))
+            yield pd.DataFrame({"media_id": ids, "ahash": hashes}).astype(
+                {"media_id": "int64", "ahash": "int64"}
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(run, schema=PHASH_SCHEMA)
+
+
+def perceptual_dup_pairs(media: DataFrame, max_hamming: int = 5) -> DataFrame:
+    """Near-duplicate image pairs by aHash hamming distance, via the
+    SAME pigeonhole 8-bit-chunk equi-join as text SimHash (dedup
+    .simhash_pairs — never all-pairs): returns (media_a, media_b,
+    hamming <= max_hamming)."""
+    from tripwire_spark.operators.dedup import simhash_pairs
+
+    sig = perceptual_hash(media).select(
+        F.col("media_id").alias("doc"), F.col("ahash").alias("simhash")
+    )
+    return simhash_pairs(sig, max_hamming=max_hamming).select(
+        F.col("doc_a").alias("media_a"),
+        F.col("doc_b").alias("media_b"),
+        "hamming",
+    )
+
+
 def sample_frames(media: DataFrame, every_ms: int = 250) -> DataFrame:
     """Frame sampling for video rows: pure column math (no decode) —
     one row per sampled timestamp."""
