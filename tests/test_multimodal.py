@@ -169,3 +169,35 @@ def test_perceptual_dup_pairs(spark):
     assert {(p.media_a, p.media_b) for p in pairs} == {(0, 1)}
     # determinism across runs
     assert sigs == {r.media_id: r.ahash for r in perceptual_hash(media).collect()}
+
+
+def test_audio_fingerprint_dup_pairs(spark):
+    import numpy as np
+
+    from tripwire_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_wav,
+        audio_fingerprint,
+        perceptual_dup_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    t = np.arange(16000, dtype=np.float64)
+    base = (np.sin(t / 40.0) * (6000 + 5000 * np.sin(t / 2000.0))).astype(np.int16)
+    gained = (base.astype(np.float64) * 0.5).astype(np.int16)  # gain-invariant
+    noise = (rng.integers(-8000, 8000, size=16000)).astype(np.int16)
+    rows = [
+        (0, "audio", bytearray(encode_wav(base)), None, None, 16000, 1000),
+        (1, "audio", bytearray(encode_wav(gained)), None, None, 16000, 1000),
+        (2, "audio", bytearray(encode_wav(noise)), None, None, 16000, 1000),
+        (3, "audio", bytearray(b"not riff"), None, None, 16000, 1000),
+        (4, "image", bytearray(b"BM junk"), 4, 4, None, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    sigs = {r.media_id: r.ahash for r in audio_fingerprint(media).collect()}
+    assert set(sigs) == {0, 1, 2}
+    assert bin((sigs[0] ^ sigs[1]) & ((1 << 64) - 1)).count("1") <= 3
+
+    pairs = perceptual_dup_pairs(media, max_hamming=5, modality="audio").collect()
+    got = {(p.media_a, p.media_b) for p in pairs}
+    assert (0, 1) in got and not any(2 in p for p in got)

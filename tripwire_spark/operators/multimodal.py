@@ -326,14 +326,64 @@ def perceptual_hash(media: DataFrame, side: int = 8) -> DataFrame:
     return media.filter(F.col("kind") == "image").mapInPandas(run, schema=PHASH_SCHEMA)
 
 
-def perceptual_dup_pairs(media: DataFrame, max_hamming: int = 5) -> DataFrame:
-    """Near-duplicate image pairs by aHash hamming distance, via the
-    SAME pigeonhole 8-bit-chunk equi-join as text SimHash (dedup
+def _audio_fingerprint_bits(samples: np.ndarray, n_windows: int = 64) -> int:
+    """Energy-envelope fingerprint: bit i set where window i's RMS
+    energy exceeds the median window energy.  Loudness-scale invariant
+    (a constant gain moves every window and the median together)."""
+    s = samples.astype(np.float64)
+    n = len(s)
+    if n == 0:
+        return 0
+    wi = (np.arange(n_windows) * n) // n_windows
+    sums = np.add.reduceat(s * s, wi)
+    lens = np.diff(np.append(wi, n)).astype(np.float64)
+    rms = np.sqrt(sums / lens)
+    bits = rms > np.median(rms)
+    v = 0
+    for i, b in enumerate(bits):
+        if b:
+            v |= 1 << i
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def audio_fingerprint(media: DataFrame, n_windows: int = 64) -> DataFrame:
+    """64-bit energy-envelope fingerprint per decodable WAV
+    (media_id, ahash) — the audio twin of :func:`perceptual_hash`,
+    sharing its schema so the same hamming join finds near-dup audio."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                cb = bytes(c) if c is not None else b""
+                if cb[:4] != b"RIFF":
+                    continue
+                try:
+                    s, _sr = decode_wav(cb)
+                except NotImplementedError:
+                    continue
+                ids.append(mid)
+                hashes.append(_audio_fingerprint_bits(s, n_windows))
+            yield pd.DataFrame({"media_id": ids, "ahash": hashes}).astype(
+                {"media_id": "int64", "ahash": "int64"}
+            )
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(run, schema=PHASH_SCHEMA)
+
+
+def perceptual_dup_pairs(
+    media: DataFrame, max_hamming: int = 5, modality: str = "image"
+) -> DataFrame:
+    """Near-duplicate media pairs by fingerprint hamming distance, via
+    the SAME pigeonhole 8-bit-chunk equi-join as text SimHash (dedup
     .simhash_pairs — never all-pairs): returns (media_a, media_b,
-    hamming <= max_hamming)."""
+    hamming <= max_hamming).  ``modality`` picks the fingerprint:
+    'image' -> :func:`perceptual_hash`, 'audio' ->
+    :func:`audio_fingerprint`."""
     from tripwire_spark.operators.dedup import simhash_pairs
 
-    sig = perceptual_hash(media).select(
+    fp = perceptual_hash if modality == "image" else audio_fingerprint
+    sig = fp(media).select(
         F.col("media_id").alias("doc"), F.col("ahash").alias("simhash")
     )
     return simhash_pairs(sig, max_hamming=max_hamming).select(
