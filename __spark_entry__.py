@@ -2201,13 +2201,15 @@ ORACLES["doc_entropy"] = _doc_entropy_oracle()
 # the cleaned text compared by md5 so the oracle never ships full bodies.
 ORACLES["c4_line_clean"] = r"""
     WITH l AS (
-      SELECT doc_id, lower(text) AS low,
-             list_filter(string_split(text, chr(10)),
+      SELECT doc_id,
+             lower(regexp_replace(text, '[^\x00-\x7f]', chr(127), 'g')) AS low,
+             list_filter(string_split_regex(text, '\r?\n'),
                          x -> length(trim(x)) > 0) AS nl,
-             list_filter(string_split(text, chr(10)), x ->
-                 regexp_matches(trim(x), '[.!?"]$')
-                 AND len(string_split_regex(trim(x), '\s+')) >= 5
-                 AND NOT contains(lower(trim(x)), 'javascript')) AS kept
+             list_filter(string_split_regex(text, '\r?\n'), x ->
+                 regexp_matches(trim(x), '[.!?"]\z')
+                 AND len(string_split_regex(trim(x), '[ \t\r\n\f\x0B]+')) >= 5
+                 AND NOT contains(lower(regexp_replace(trim(x),
+                         '[^\x00-\x7f]', chr(127), 'g')), 'javascript')) AS kept
       FROM documents),
     j AS (
       SELECT doc_id, low, nl, kept,

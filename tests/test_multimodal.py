@@ -201,3 +201,46 @@ def test_audio_fingerprint_dup_pairs(spark):
     pairs = perceptual_dup_pairs(media, max_hamming=5, modality="audio").collect()
     got = {(p.media_a, p.media_b) for p in pairs}
     assert (0, 1) in got and not any(2 in p for p in got)
+
+
+def test_fingerprint_robustness_and_degenerate_sizes(spark):
+    import numpy as np
+    import pytest as _pytest
+
+    from tripwire_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        _ahash_bits,
+        _audio_fingerprint_bits,
+        audio_fingerprint,
+        encode_bmp,
+        encode_wav,
+        perceptual_dup_pairs,
+        perceptual_hash,
+    )
+
+    rng = np.random.default_rng(3)
+    small_a = rng.integers(0, 256, size=(6, 8, 3), dtype=np.uint8)
+    small_b = rng.integers(0, 256, size=(6, 8, 3), dtype=np.uint8)
+    # sub-grid images must not collapse to one degenerate hash
+    assert _ahash_bits(small_a) != _ahash_bits(small_b)
+    # sub-64-sample clips likewise
+    clip_a = rng.integers(-30000, 30000, size=10).astype(np.int16)
+    clip_b = rng.integers(-30000, 30000, size=10).astype(np.int16)
+    assert _audio_fingerprint_bits(clip_a) != _audio_fingerprint_bits(clip_b)
+
+    rows = [
+        # corrupt blobs WITH the right magic: dropped, never fatal
+        (0, "image", bytearray(b"BM\x00\x00"), 4, 4, None, None),
+        (1, "audio", bytearray(b"RIFF not a wav at all"), None, None, 16000, 100),
+        # valid ones still hash
+        (2, "image", bytearray(encode_bmp(small_a)), 8, 6, None, None),
+        (3, "audio", bytearray(encode_wav(clip_a)), None, None, 16000, 1),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    assert {r.media_id for r in perceptual_hash(media).collect()} == {2}
+    assert {r.media_id for r in audio_fingerprint(media).collect()} == {3}
+
+    with _pytest.raises(ValueError, match="modality"):
+        perceptual_dup_pairs(media, modality="video")
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        perceptual_dup_pairs(media, max_hamming=10)

@@ -89,3 +89,29 @@ def test_space_counts_in_alphabet_not_alnum(spark):
     expect = -(2 / 3) * math.log2(2 / 3) - (1 / 3) * math.log2(1 / 3)
     assert abs(row.char_entropy - expect) < 1e-12
     assert abs(row.alnum_ratio - 2 / 3) < 1e-12
+
+
+def test_c4_crlf_and_unicode_parity_paths(spark):
+    from tripwire_spark.operators.textstats import c4_line_filters, entropy_features
+
+    crlf = "Five good words end here.\r\nAnother proper line sits right here!\r\nA third one finishes the page now?"
+    docs = [(0, crlf), (1, "JAVASCRİPT in a line with five words here."), (2, "İİaabb")]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    cf = c4_line_filters(F.col("text"))
+    ef = entropy_features(F.col("text"))
+    rows = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            cf["n_lines"].alias("nl"), cf["n_kept"].alias("nk"), cf["keep"].alias("keep"),
+            ef["n_chars"].alias("nc"), F.round(ef["char_entropy"], 6).alias("H"),
+        ).collect()
+    }
+    # CRLF doc: \r?\n split leaves no \r tails; all 3 lines keep, page keeps
+    assert (rows[0].nl, rows[0].nk, rows[0].keep) == (3, 3, True)
+    # Turkish İ: non-ASCII folds to DEL BEFORE lower() on both engines,
+    # so n_chars stays 1:1 with the input (İ != 'i'+combining in Spark)
+    assert rows[2].nc == 6
+    # İİaabb -> buckets {OTHER:2, a:2, b:2} -> log2(3) bits
+    import math
+    assert abs(rows[2].H - math.log2(3)) < 1e-6

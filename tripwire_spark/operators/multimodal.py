@@ -24,6 +24,8 @@ Pattern notes for 100 TB media tables:
 
 from __future__ import annotations
 
+import struct
+import wave
 from typing import Iterator
 
 import numpy as np
@@ -276,99 +278,123 @@ def resize_thumbnails(media: DataFrame, max_side: int = 16) -> DataFrame:
 PHASH_SCHEMA = "media_id long, ahash long"
 
 
-def _ahash_bits(arr: np.ndarray, side: int = 8) -> int:
-    """Average-hash: grayscale -> side x side block means -> bit i set
-    where block i's mean exceeds the global block mean.  Exact-integer
-    -free but deterministic: reduceat block sums over float64 with a
-    fixed traversal order."""
-    gray = arr.astype(np.float64).mean(axis=2)
-    h, w = gray.shape
-    ri = (np.arange(side) * h) // side
-    ci = (np.arange(side) * w) // side
-    blocks = np.add.reduceat(np.add.reduceat(gray, ri, axis=0), ci, axis=1)
-    rs = np.diff(np.append(ri, h)).astype(np.float64)
-    cs = np.diff(np.append(ci, w)).astype(np.float64)
-    means = blocks / np.outer(rs, cs)
-    bits = (means > means.mean()).flatten()
+def _pack_bits(bits: np.ndarray) -> int:
+    """Pack <=64 booleans into a signed int64 (bit i = bits[i])."""
     v = 0
     for i, b in enumerate(bits):
         if b:
             v |= 1 << i
     return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _ahash_bits(arr: np.ndarray, side: int = 8) -> int:
+    """Average-hash: grayscale -> side x side block means -> bit i set
+    where block i's mean exceeds the global block mean.  Exact-integer
+    -free but deterministic: reduceat block sums over float64 with a
+    fixed traversal order.  Images smaller than the grid on either axis
+    fall back to nearest-neighbor SAMPLING of the same grid (block
+    boundaries would repeat and divide by zero-sized blocks)."""
+    gray = arr.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    if h == 0 or w == 0:
+        return 0
+    ri = (np.arange(side) * h) // side
+    ci = (np.arange(side) * w) // side
+    if h < side or w < side:
+        means = gray[ri][:, ci]
+    else:
+        blocks = np.add.reduceat(np.add.reduceat(gray, ri, axis=0), ci, axis=1)
+        rs = np.diff(np.append(ri, h)).astype(np.float64)
+        cs = np.diff(np.append(ci, w)).astype(np.float64)
+        means = blocks / np.outer(rs, cs)
+    return _pack_bits((means > means.mean()).flatten())
+
+
+def _fingerprint_runner(magic: bytes, hash_one):
+    """Shared mapInPandas body for the media fingerprints: keep rows
+    whose content starts with ``magic`` AND decodes, hash via
+    ``hash_one(content_bytes) -> int`` (returns None to drop), emit
+    (media_id, ahash).  A corrupt or unsupported blob is DROPPED, never
+    fatal: at 100 TB one truncated file must not kill the job."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                cb = bytes(c) if c is not None else b""
+                if cb[: len(magic)] != magic:
+                    continue
+                hv = hash_one(cb)
+                if hv is None:
+                    continue
+                ids.append(mid)
+                hashes.append(hv)
+            yield pd.DataFrame({"media_id": ids, "ahash": hashes}).astype(
+                {"media_id": "int64", "ahash": "int64"}
+            )
+
+    return run
 
 
 def perceptual_hash(media: DataFrame, side: int = 8) -> DataFrame:
     """64-bit average-hash per decodable image (media_id, ahash).
 
-    Blobs the container cannot decode are DROPPED (a near-dup verdict
-    over fake bytes would be noise, unlike the stats/thumbnail paths
-    where an opaque row is still useful).  Iterator-form mapInPandas,
-    one Arrow batch of blobs in memory per task; at 100 TB the hash is
-    computed next to the bytes and only 16 bytes/row leave the scan."""
+    Blobs the container cannot decode — wrong codec, truncated header,
+    corrupt pixel data — are DROPPED (a near-dup verdict over fake
+    bytes would be noise, unlike the stats/thumbnail paths where an
+    opaque row is still useful).  Iterator-form mapInPandas, one Arrow
+    batch of blobs in memory per task; at 100 TB the hash is computed
+    next to the bytes and only 16 bytes/row leave the scan."""
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, hashes = [], []
-            for mid, c in zip(pdf["media_id"], pdf["content"]):
-                cb = bytes(c) if c is not None else b""
-                if cb[:2] != b"BM":
-                    continue
-                try:
-                    arr = decode_bmp(cb)
-                except NotImplementedError:
-                    continue
-                ids.append(mid)
-                hashes.append(_ahash_bits(arr, side))
-            yield pd.DataFrame({"media_id": ids, "ahash": hashes}).astype(
-                {"media_id": "int64", "ahash": "int64"}
-            )
+    def hash_one(cb: bytes) -> int | None:
+        try:
+            return _ahash_bits(decode_bmp(cb), side)
+        except (NotImplementedError, ValueError, struct.error, IndexError):
+            return None
 
-    return media.filter(F.col("kind") == "image").mapInPandas(run, schema=PHASH_SCHEMA)
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        _fingerprint_runner(b"BM", hash_one), schema=PHASH_SCHEMA
+    )
 
 
 def _audio_fingerprint_bits(samples: np.ndarray, n_windows: int = 64) -> int:
     """Energy-envelope fingerprint: bit i set where window i's RMS
     energy exceeds the median window energy.  Loudness-scale invariant
-    (a constant gain moves every window and the median together)."""
+    (a constant gain moves every window and the median together).
+    Clips shorter than ``n_windows`` samples fall back to per-sample
+    energies over a nearest-neighbor window grid (zero-length windows
+    would divide by zero)."""
     s = samples.astype(np.float64)
     n = len(s)
     if n == 0:
         return 0
     wi = (np.arange(n_windows) * n) // n_windows
-    sums = np.add.reduceat(s * s, wi)
-    lens = np.diff(np.append(wi, n)).astype(np.float64)
-    rms = np.sqrt(sums / lens)
-    bits = rms > np.median(rms)
-    v = 0
-    for i, b in enumerate(bits):
-        if b:
-            v |= 1 << i
-    return v - (1 << 64) if v >= (1 << 63) else v
+    if n < n_windows:
+        rms = np.abs(s[wi])
+    else:
+        sums = np.add.reduceat(s * s, wi)
+        lens = np.diff(np.append(wi, n)).astype(np.float64)
+        rms = np.sqrt(sums / lens)
+    return _pack_bits(rms > np.median(rms))
 
 
 def audio_fingerprint(media: DataFrame, n_windows: int = 64) -> DataFrame:
     """64-bit energy-envelope fingerprint per decodable WAV
     (media_id, ahash) — the audio twin of :func:`perceptual_hash`,
-    sharing its schema so the same hamming join finds near-dup audio."""
+    sharing its schema so the same hamming join finds near-dup audio.
+    RIFF blobs that are not decodable 16-bit mono PCM (AVI/WebP share
+    the magic; truncated files) are dropped, never fatal."""
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, hashes = [], []
-            for mid, c in zip(pdf["media_id"], pdf["content"]):
-                cb = bytes(c) if c is not None else b""
-                if cb[:4] != b"RIFF":
-                    continue
-                try:
-                    s, _sr = decode_wav(cb)
-                except NotImplementedError:
-                    continue
-                ids.append(mid)
-                hashes.append(_audio_fingerprint_bits(s, n_windows))
-            yield pd.DataFrame({"media_id": ids, "ahash": hashes}).astype(
-                {"media_id": "int64", "ahash": "int64"}
-            )
+    def hash_one(cb: bytes) -> int | None:
+        try:
+            s, _sr = decode_wav(cb)
+        except (NotImplementedError, wave.Error, EOFError, ValueError, struct.error):
+            return None
+        return _audio_fingerprint_bits(s, n_windows)
 
-    return media.filter(F.col("kind") == "audio").mapInPandas(run, schema=PHASH_SCHEMA)
+    return media.filter(F.col("kind") == "audio").mapInPandas(
+        _fingerprint_runner(b"RIFF", hash_one), schema=PHASH_SCHEMA
+    )
 
 
 def perceptual_dup_pairs(
@@ -379,9 +405,18 @@ def perceptual_dup_pairs(
     .simhash_pairs — never all-pairs): returns (media_a, media_b,
     hamming <= max_hamming).  ``modality`` picks the fingerprint:
     'image' -> :func:`perceptual_hash`, 'audio' ->
-    :func:`audio_fingerprint`."""
+    :func:`audio_fingerprint`.  ``max_hamming`` is capped at 7: the
+    8-chunk pigeonhole only guarantees recall up to hamming 7, and a
+    larger bound would silently drop genuine pairs."""
     from tripwire_spark.operators.dedup import simhash_pairs
 
+    if modality not in ("image", "audio"):
+        raise ValueError(f"modality must be 'image' or 'audio', got {modality!r}")
+    if max_hamming > 7:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the 8-bit-chunk pigeonhole "
+            "recall guarantee (<= 7 over 64 bits)"
+        )
     fp = perceptual_hash if modality == "image" else audio_fingerprint
     sig = fp(media).select(
         F.col("media_id").alias("doc"), F.col("ahash").alias("simhash")

@@ -114,6 +114,15 @@ def quality_features(text: Column) -> dict[str, Column]:
 # buckets and the whole computation is a scan-side projection.
 ENTROPY_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789 "
 
+# Non-ASCII chars fold 1:1 into DEL before lower(): Unicode lowercasing
+# is NOT engine-identical (Java lower('İ') = 'i'+combining-dot, two
+# chars; DuckDB/utf8proc = 'i', one char), so the oracle twin only
+# matches if both engines lowercase the SAME pure-ASCII string.  The
+# placeholder keeps length 1:1 and lands in the OTHER bucket, which is
+# where non-ASCII was counted anyway.
+_NON_ASCII_RE = r"[^\x00-\x7f]"
+_ASCII_PLACEHOLDER = "\x7f"
+
 
 def entropy_features(text: Column) -> dict[str, Column]:
     """Character-distribution quality signals (CCNet/Gopher-adjacent):
@@ -132,8 +141,11 @@ def entropy_features(text: Column) -> dict[str, Column]:
     fold the entropy sum left-to-right; 6-dp rounding absorbs the
     <=1e-12 cross-libm drift).  ~37 string passes/row is scan-speed at
     100 TB: it is per-row map work on a column the scan already read.
+    Non-ASCII folds to one OTHER-bucket placeholder per char BEFORE
+    lowercasing (see ``_NON_ASCII_RE``) so both engines lowercase
+    identical ASCII.
     """
-    s = F.lower(text)
+    s = F.lower(F.regexp_replace(text, _NON_ASCII_RE, _ASCII_PLACEHOLDER))
     n = F.length(s)
     counts = [n - F.length(F.replace(s, F.lit(c), F.lit(""))) for c in ENTROPY_ALPHABET]
     alnum = None
@@ -161,7 +173,9 @@ def entropy_sql(text_expr: str) -> dict[str, str]:
     """ANSI-SQL twins of :func:`entropy_features`, built by the same
     loop so the term ORDER (and therefore the float fold) matches the
     Spark plan exactly."""
-    s = f"lower({text_expr})"
+    # 'g': DuckDB regexp_replace is first-match-only by default where
+    # Spark's is global.
+    s = f"lower(regexp_replace({text_expr}, '{_NON_ASCII_RE}', chr(127), 'g'))"
     n = f"length({s})"
     def cnt(c: str) -> str:
         lit = "' '" if c == " " else f"'{c}'"
@@ -200,20 +214,33 @@ def c4_line_filters(text: Column) -> dict[str, Column]:
     recapture note), so this stays one codegen'd scan-side projection
     at 100 TB.  The C4 bad-word page filter is the blacklist operator's
     job (F1) and is not duplicated here.
+
+    Engine-parity choices (java.util.regex vs the oracle's RE2):
+    lines split on ``\\r?\\n`` so CRLF corpora don't leave ``\\r`` tails;
+    the terminal-punctuation anchor is ``\\z`` (end of TEXT in both
+    engines — Java ``$`` also matches before a final line terminator,
+    RE2's does not); the word split uses an explicit whitespace class
+    (Java ``\\s`` includes ``\\x0B``, RE2's does not); and the lowercase
+    substring gates fold non-ASCII to DEL first (see ``_NON_ASCII_RE``)
+    because Unicode lowercasing differs between the engines.
     """
-    lines = F.split(text, "\n")
+    lines = F.split(text, r"\r?\n")
+    _ws = r"[ \t\r\n\f\x0B]+"
+
+    def _low(c: Column) -> Column:
+        return F.lower(F.regexp_replace(c, _NON_ASCII_RE, _ASCII_PLACEHOLDER))
 
     def _line_ok(l: Column) -> Column:
         t = F.trim(l)
         return (
-            t.rlike('[.!?"]$')
-            & (F.size(F.split(t, r"\s+")) >= 5)
-            & ~F.lower(t).contains("javascript")
+            t.rlike('[.!?"]\\z')
+            & (F.size(F.split(t, _ws)) >= 5)
+            & ~_low(t).contains("javascript")
         )
 
     kept = F.filter(lines, _line_ok)
     cleaned = F.array_join(kept, "\n")
-    low = F.lower(text)
+    low = _low(text)
     n_sentences = F.regexp_count(cleaned, F.lit(r"[.!?]"))
     return {
         "n_lines": F.size(F.filter(lines, lambda l: F.length(F.trim(l)) > 0)).cast("long"),
