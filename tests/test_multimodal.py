@@ -244,3 +244,21 @@ def test_fingerprint_robustness_and_degenerate_sizes(spark):
         perceptual_dup_pairs(media, modality="video")
     with _pytest.raises(ValueError, match="pigeonhole"):
         perceptual_dup_pairs(media, max_hamming=10)
+
+
+def test_stats_and_thumbs_survive_corrupt_magic(spark):
+    from tripwire_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_media_stats,
+        resize_thumbnails,
+    )
+
+    rows = [
+        (0, "image", bytearray(b"BM\x00\x00"), 4, 4, None, None),
+        (1, "audio", bytearray(b"RIFF not a wav"), None, None, 16000, 100),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    stats = {r.media_id: r.fmt for r in extract_media_stats(media).collect()}
+    assert stats == {0: "opaque", 1: "opaque"}
+    thumbs = resize_thumbnails(media).collect()
+    assert len(thumbs) == 1 and len(thumbs[0].thumb) > 0  # fake-thumb fallback

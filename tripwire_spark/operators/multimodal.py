@@ -197,8 +197,11 @@ def extract_media_stats(media: DataFrame) -> DataFrame:
                         s, sr = decode_wav(cb)
                         fmt, ns = "wav", len(s)
                         rms = round(float(np.sqrt(np.mean((s / 32768.0) ** 2))), 6)
-                except NotImplementedError:
-                    pass
+                except (NotImplementedError, wave.Error, EOFError, ValueError,
+                        struct.error, IndexError):
+                    # corrupt/truncated blob behind a valid magic: still
+                    # an 'opaque' row, never a dead task
+                    fmt, w, h, ns, sr, lum, rms = "opaque", None, None, None, None, None, None
                 for k, v in zip(cols, (mid, kind, fmt, w, h, ns, sr, lum, rms)):
                     out[k].append(v)
             yield pd.DataFrame(out)
@@ -260,8 +263,8 @@ def resize_thumbnails(media: DataFrame, max_side: int = 16) -> DataFrame:
                         cidx = (np.arange(tw_i) * arr.shape[1] / tw_i).astype(np.int64)
                         thumbs.append(encode_bmp(arr[ridx][:, cidx]))
                         continue
-                    except NotImplementedError:
-                        pass
+                    except (NotImplementedError, ValueError, struct.error, IndexError):
+                        pass  # corrupt BM blob -> deterministic fake thumb below
                 thumbs.append((_fake_feature(cb, 4) * 255).astype(np.uint8).tobytes())
             yield pd.DataFrame(
                 {
