@@ -1837,7 +1837,163 @@ def q_sitemap_urls(spark: SparkSession, sf: str) -> DataFrame:
     return sitemap_locs(sitemaps)
 
 
+def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    # Gap-based sessionization of a fetch-log-shaped stream (S10
+    # analytics): new session when the same host is silent > 600 s
+    from tripwire_spark.operators.logs import sessionize
+
+    e = _t(spark, sf, "events")
+    logs = e.select(
+        F.col("event_id").alias("rid"),
+        F.format_string("site%02d.test", F.pmod(F.col("user_id"), F.lit(20))).alias("host"),
+        F.pmod(F.col("event_id") * 6007, F.lit(86400)).alias("ts_s"),
+    )
+    return sessionize(logs, gap_s=600, order_cols=("rid",))
+
+
+def q_crawl_sessions(spark: SparkSession, sf: str) -> DataFrame:
+    # Per-session rollup: bursts of crawler activity per host with dwell
+    from tripwire_spark.operators.logs import session_stats, sessionize
+
+    e = _t(spark, sf, "events")
+    logs = e.select(
+        F.col("event_id").alias("rid"),
+        F.format_string("site%02d.test", F.pmod(F.col("user_id"), F.lit(20))).alias("host"),
+        F.pmod(F.col("event_id") * 6007, F.lit(86400)).alias("ts_s"),
+    )
+    return session_stats(sessionize(logs, gap_s=600, order_cols=("rid",)))
+
+
+def q_tracking_params(spark: SparkSession, sf: str) -> DataFrame:
+    # URL-parameter role mining over a capture history whose digest
+    # depends on (host, path, page) but never sid -> sid is learned as
+    # tracking, page as content
+    from tripwire_spark.operators.frontier import tracking_params
+
+    e = _t(spark, sf, "events")
+    host = F.format_string("s%02d.test", F.pmod(F.col("user_id"), F.lit(10)))
+    path = F.concat(F.lit("/p"), F.pmod(F.col("event_id"), F.lit(5)).cast("string"))
+    page = F.pmod(F.col("event_id"), F.lit(3))
+    sid = F.pmod(F.col("event_id"), F.lit(7))
+    cap = e.select(
+        F.format_string("http://%s%s?page=%s&sid=%s", host, path, page.cast("string"), sid.cast("string")).alias("url"),
+        F.md5(F.concat_ws("|", F.lit("c"), host, path, page.cast("string"))).alias("digest"),
+    )
+    return tracking_params(cap)
+
+
+def q_strip_params(spark: SparkSession, sf: str) -> DataFrame:
+    # Apply a learned tracking-param table: sid/utm stripped on the
+    # learned hosts only, content params and foreign hosts untouched
+    from tripwire_spark.operators.frontier import strip_params
+
+    c = _t(spark, sf, "customer")
+    k = F.col("c_custkey")
+    urls = c.select(
+        k.alias("custkey"),
+        F.when(
+            F.pmod(k, F.lit(3)) == 0,
+            F.format_string("http://s%02d.test/plain", F.pmod(k, F.lit(5))),
+        )
+        .otherwise(
+            F.format_string(
+                "http://s%02d.test/a?sid=%s&page=%s&utm=x",
+                F.pmod(k, F.lit(5)),
+                F.pmod(k, F.lit(9)).cast("string"),
+                F.pmod(k, F.lit(4)).cast("string"),
+            )
+        )
+        .alias("url"),
+    )
+    tracking = spark.createDataFrame(
+        [("s00.test", "sid"), ("s00.test", "utm"), ("s02.test", "sid"), ("s04.test", "utm")],
+        "host string, param string",
+    )
+    return strip_params(urls, tracking)
+
+
+def q_shuffle_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    # Deterministic training-order permutation: md5(seed|id) rank via
+    # the two-phase global_rank (no single-partition sort)
+    from tripwire_spark.operators.packing import shuffle_corpus
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    return shuffle_corpus(d, seed="e1")
+
+
+def q_ppl_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    # CCNet head/middle/tail corpus partition under the lang='en'
+    # hashed-bigram LM; exact integer bucket arithmetic
+    from tripwire_spark.operators.lm import perplexity_buckets, train_bigram_lm
+
+    d = _t(spark, sf, "documents")
+    model = train_bigram_lm(d.filter(F.col("lang") == "en"), "doc_id", "text", buckets=4096)
+    return perplexity_buckets(d, model, "doc_id", "text", buckets=4096)
+
+
+def q_clean_text(spark: SparkSession, sf: str) -> DataFrame:
+    # ftfy-lite repair: mojibake prefix/suffix + control chars wrapped
+    # around real document text, cleaned byte-identically in both engines
+    from tripwire_spark.functions.text_clean import _moji, clean_text
+
+    d = _t(spark, sf, "documents")
+    pre = _moji("It’s a café — résumé: ")
+    suf = _moji(" Ünicode…")
+    raw = F.concat(
+        F.lit(pre), F.substring(F.col("text"), 1, 50), F.lit("\x01\x02"), F.lit(suf)
+    )
+    return d.select("doc_id", clean_text(raw).alias("cleaned"))
+
+
+def q_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
+    # Distributed BPE merge training, first 3 merges over the document
+    # corpus (vocab-sized state; driver sees one argmax row per merge)
+    from tripwire_spark.operators.bpe import train_bpe_merges
+
+    d = _t(spark, sf, "documents")
+    merges = train_bpe_merges(d, 3)
+    return spark.createDataFrame(
+        [(i + 1, l, r, c) for i, (l, r, c) in enumerate(merges)],
+        "rank long, left string, right string, pair_cnt long",
+    )
+
+
+def q_bpe_segment(spark: SparkSession, sf: str) -> DataFrame:
+    # Apply a fixed merge list; pieces re-flattened in document order
+    # (joined on chr(30) — pieces legitimately contain spaces)
+    from tripwire_spark.operators.bpe import bpe_segment
+
+    d = _t(spark, sf, "documents")
+    merges = [(" ", "t"), ("h", "e"), (" t", "he")]
+    seg = bpe_segment(d, merges)
+    return seg.select(
+        "doc_id", "n_pieces", F.array_join("pieces", "\x1e").alias("pieces_str")
+    )
+
+
+def q_scorecard_budgets(spark: SparkSession, sf: str) -> DataFrame:
+    # Curation->crawl feedback: per-domain politeness budgets earned by
+    # curation keep-rate (floor 1, default 8)
+    from tripwire_spark.operators.frontier import scorecard_budgets
+    from tripwire_spark.operators.textstats import domain_scorecard
+
+    sc = domain_scorecard(_t(spark, sf, "documents"), group_col="source")
+    return scorecard_budgets(sc, group_col="source", default_budget=8).select(
+        "host", "crawl_budget"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "sessionize": q_sessionize,
+    "crawl_sessions": q_crawl_sessions,
+    "tracking_params": q_tracking_params,
+    "strip_params": q_strip_params,
+    "shuffle_corpus": q_shuffle_corpus,
+    "ppl_buckets": q_ppl_buckets,
+    "clean_text": q_clean_text,
+    "bpe_merges": q_bpe_merges,
+    "bpe_segment": q_bpe_segment,
+    "scorecard_budgets": q_scorecard_budgets,
     "warc_ingest": q_warc_ingest,
     "robots_parse": q_robots_parse,
     "sitemap_urls": q_sitemap_urls,
@@ -3426,3 +3582,223 @@ def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES.update({"semantic_dedup": q_semantic_dedup})
+
+
+# ---------------------------------------------------------------------------
+# round-3 session additions (2): crawl-log sessions, URL-param mining,
+# corpus shuffle, CCNet ppl buckets, text repair, distributed BPE
+
+_SESSION_LOG_CTE = """
+            l AS (SELECT event_id AS rid,
+                         printf('site%02d.test', CAST(user_id % 20 AS INT)) AS host,
+                         (event_id * 6007) % 86400 AS ts_s
+                  FROM events),
+            m AS (SELECT rid, host, ts_s,
+                         CASE WHEN lag(ts_s) OVER w IS NULL
+                                OR ts_s - lag(ts_s) OVER w > 600 THEN 1 ELSE 0 END AS nw
+                  FROM l WINDOW w AS (PARTITION BY host ORDER BY ts_s, rid)),
+            s AS (SELECT rid, host, ts_s,
+                         CAST(sum(nw) OVER (PARTITION BY host ORDER BY ts_s, rid
+                                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+                  FROM m)"""
+
+# DuckDB twin of textstats.BPE_SPLIT_RE (leading ' doubled for the SQL
+# literal)
+_BPE_RE_SQL = (
+    "'''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'"
+)
+
+
+def _bpe_stage(n: int) -> str:
+    """One unrolled BPE merge: pair counts over the double-fenced vocab,
+    deterministic argmax, replace() rewrite (the same left-to-right
+    greedy semantics the Spark path runs)."""
+    s, ss = "chr(31)", "chr(31)||chr(31)"
+    prev = f"s{n-1}"
+    return f"""
+            l{n} AS (SELECT string_split(syms, {ss}) AS a, cnt FROM {prev}),
+            p{n} AS (SELECT unnest(list_transform(generate_series(2, len(a)-2),
+                             i -> {{'l': a[i], 'r': a[i+1]}})) AS pr, cnt FROM l{n}),
+            pc{n} AS (SELECT pr.l AS lft, pr.r AS rgt, sum(cnt) AS c FROM p{n} GROUP BY 1, 2),
+            b{n} AS (SELECT lft, rgt, c FROM pc{n} ORDER BY c DESC, lft, rgt LIMIT 1),
+            s{n} AS (SELECT replace(syms, {s}||b.lft||{ss}||b.rgt||{s},
+                                    {s}||b.lft||b.rgt||{s}) AS syms, cnt
+                     FROM {prev} CROSS JOIN b{n} b)"""
+
+
+def _bpe_vocab_cte() -> str:
+    s = "chr(31)"
+    return f"""
+            words0 AS (
+              SELECT unnest(regexp_extract_all(text, {_BPE_RE_SQL}, 0)) AS word
+              FROM documents),
+            vocab AS (
+              SELECT word, count(*) AS cnt FROM words0
+              WHERE NOT contains(word, chr(31)) AND NOT contains(word, chr(10))
+              GROUP BY word),
+            s0 AS (
+              SELECT {s} || regexp_replace(word, '(.)', {s} || '\\1' || {s}, 'g') || {s} AS syms, cnt
+              FROM vocab)"""
+
+
+def _bpe_segment_oracle() -> str:
+    from tripwire_spark.functions.text_clean import _sql_lit
+    from tripwire_spark.operators.bpe import SEP
+
+    merges = [(" ", "t"), ("h", "e"), (" t", "he")]
+    s = "chr(31)"
+    rew = f"{s} || regexp_replace(u.word, '(.)', {s} || '\\1' || {s}, 'g') || {s}"
+    for l, r in merges:
+        pat = _sql_lit(SEP + l + SEP + SEP + r + SEP)
+        rep = _sql_lit(SEP + l + r + SEP)
+        rew = f"replace({rew}, {pat}, {rep})"
+    return f"""
+            WITH w AS (
+              SELECT doc_id, regexp_extract_all(text, {_BPE_RE_SQL}, 0) AS ws
+              FROM documents),
+            e AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)),
+                            i -> {{'pos': i, 'word': ws[i]}})) AS u FROM w),
+            seg AS (SELECT doc_id, u.pos AS pos,
+                           string_split({rew}, chr(31)||chr(31)) AS a FROM e),
+            ps AS (SELECT doc_id, pos, a[2:len(a)-1] AS p FROM seg)
+            SELECT doc_id, CAST(sum(len(p)) AS BIGINT) AS n_pieces,
+                   string_agg(array_to_string(p, chr(30)), chr(30) ORDER BY pos) AS pieces_str
+            FROM ps GROUP BY doc_id"""
+
+
+def _clean_text_oracle() -> str:
+    from tripwire_spark.functions.text_clean import _moji, _sql_lit, clean_text_sql
+
+    pre = _moji("It’s a café — résumé: ")
+    suf = _moji(" Ünicode…")
+    raw = f"{_sql_lit(pre)} || substr(text, 1, 50) || chr(1) || chr(2) || {_sql_lit(suf)}"
+    return f"SELECT doc_id, {clean_text_sql(raw)} AS cleaned FROM documents"
+
+
+_LM_SCORE_CTES = """
+            toks AS (
+              SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\\s+') AS t
+              FROM documents),
+            g0 AS (
+              SELECT doc_id, lang,
+                     CASE WHEN len(t) >= 2
+                          THEN list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])
+                          ELSE [] END AS grams
+              FROM toks),
+            g AS (SELECT doc_id, lang, unnest(grams) AS gram FROM g0),
+            gb AS (
+              SELECT doc_id, lang,
+                     ('0x' || substr(md5(gram), 1, 8))::BIGINT % 4096 AS bg,
+                     ('0x' || substr(md5(string_split(gram, ' ')[1]), 1, 8))::BIGINT % 4096 AS cx
+              FROM g),
+            bgc AS (SELECT bg AS bucket, count(*) AS c_bg FROM gb WHERE lang = 'en' GROUP BY bg),
+            ctxc AS (SELECT cx AS bucket, count(*) AS c_ctx FROM gb WHERE lang = 'en' GROUP BY cx),
+            inst AS (
+              SELECT gb.doc_id,
+                     CAST(round((ln(CAST(coalesce(b.c_bg, 0) + 1 AS DOUBLE))
+                               - ln(CAST(coalesce(c.c_ctx, 0) + 4096 AS DOUBLE))) * 1000000.0, 0)
+                          AS BIGINT) AS lp
+              FROM gb LEFT JOIN bgc b ON gb.bg = b.bucket
+                      LEFT JOIN ctxc c ON gb.cx = c.bucket),
+            per AS (SELECT doc_id, count(*) AS n_grams, sum(lp) AS s FROM inst GROUP BY doc_id),
+            scored AS (
+              SELECT d.doc_id, CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+                     round(exp(-(p.s / 1000000.0) / p.n_grams), 6) AS ppl
+              FROM documents d LEFT JOIN per p USING (doc_id))"""
+
+ORACLES.update(
+    {
+        "sessionize": f"""
+            WITH {_SESSION_LOG_CTE.strip()}
+            SELECT rid, host, ts_s, session_seq,
+                   host || '#' || CAST(session_seq AS VARCHAR) AS session_id
+            FROM s
+        """,
+        "crawl_sessions": f"""
+            WITH {_SESSION_LOG_CTE.strip()}
+            SELECT host, session_seq, CAST(count(*) AS BIGINT) AS n_rows,
+                   min(ts_s) AS first_ts, max(ts_s) AS last_ts,
+                   CAST(max(ts_s) - min(ts_s) AS BIGINT) AS dwell_s
+            FROM s GROUP BY host, session_seq
+        """,
+        "tracking_params": """
+            WITH c AS (
+              SELECT printf('s%02d.test', CAST(user_id % 10 AS INT)) AS host,
+                     '/p' || CAST(event_id % 5 AS VARCHAR) AS path,
+                     CAST(event_id % 3 AS VARCHAR) AS page,
+                     CAST(event_id % 7 AS VARCHAR) AS sid
+              FROM events),
+            cap AS (SELECT host, path, page, sid,
+                           md5('c|' || host || '|' || path || '|' || page) AS digest
+                    FROM c),
+            inst AS (
+              SELECT host, path, 'page' AS param, page AS val, digest, 'sid=' || sid AS ctx FROM cap
+              UNION ALL
+              SELECT host, path, 'sid', sid, digest, 'page=' || page FROM cap),
+            g AS (SELECT host, path, ctx, param,
+                         count(DISTINCT val) AS nv, count(DISTINCT digest) AS nd
+                  FROM inst GROUP BY 1, 2, 3, 4),
+            v AS (SELECT * FROM g WHERE nv >= 2)
+            SELECT host, param, CAST(count(*) AS BIGINT) AS n_contexts,
+                   CAST(sum(CASE WHEN nd = 1 THEN 1 ELSE 0 END) AS BIGINT) AS invariant_contexts,
+                   sum(CASE WHEN nd = 1 THEN 1 ELSE 0 END) = count(*) AS is_tracking
+            FROM v GROUP BY host, param
+        """,
+        "strip_params": """
+            WITH u AS (
+              SELECT c_custkey AS custkey,
+                     CAST(c_custkey % 5 AS INT) AS h,
+                     c_custkey % 3 = 0 AS plain,
+                     c_custkey % 9 AS sid, c_custkey % 4 AS page
+              FROM customer)
+            SELECT custkey,
+                   CASE WHEN plain THEN printf('http://s%02d.test/plain', h)
+                        WHEN h = 0 THEN printf('http://s00.test/a?page=%d', page)
+                        WHEN h = 2 THEN printf('http://s02.test/a?page=%d&utm=x', page)
+                        WHEN h = 4 THEN printf('http://s04.test/a?sid=%d&page=%d', sid, page)
+                        ELSE printf('http://s%02d.test/a?sid=%d&page=%d&utm=x', h, sid, page)
+                   END AS url
+            FROM u
+        """,
+        "shuffle_corpus": """
+            SELECT doc_id,
+                   CAST(row_number() OVER (
+                          ORDER BY ('0x' || substr(md5('e1|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+                                   doc_id) - 1 AS BIGINT) AS pos
+            FROM documents
+        """,
+        "ppl_buckets": f"""
+            WITH {_LM_SCORE_CTES.strip()},
+            s2 AS (SELECT * FROM scored WHERE ppl IS NOT NULL),
+            r AS (SELECT doc_id, n_grams, ppl,
+                         row_number() OVER (ORDER BY CAST(round(ppl * 1000000.0, 0) AS BIGINT),
+                                            doc_id) - 1 AS pos,
+                         count(*) OVER () AS n
+                  FROM s2)
+            SELECT doc_id, n_grams, ppl,
+                   CASE CAST((pos * 3) // n AS INT) WHEN 0 THEN 'head'
+                        WHEN 1 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+            FROM r
+        """,
+        "clean_text": _clean_text_oracle(),
+        "bpe_merges": f"""
+            WITH {_bpe_vocab_cte().strip()},{_bpe_stage(1)},{_bpe_stage(2)},{_bpe_stage(3)}
+            SELECT * FROM (
+              SELECT 1 AS rank, lft AS left, rgt AS right, CAST(c AS BIGINT) AS pair_cnt FROM b1
+              UNION ALL SELECT 2, lft, rgt, CAST(c AS BIGINT) FROM b2
+              UNION ALL SELECT 3, lft, rgt, CAST(c AS BIGINT) FROM b3)
+        """,
+        "bpe_segment": _bpe_segment_oracle(),
+        "scorecard_budgets": f"""
+            WITH {_CURATION_CTES},
+            j AS (SELECT d.source, v.verdict FROM v JOIN documents d USING (doc_id)),
+            sc AS (SELECT source,
+                          CAST(round(sum(CASE WHEN verdict = 'keep' THEN 1 ELSE 0 END) * 1000000.0
+                                     / count(*), 0) AS BIGINT) AS keep_rate6
+                   FROM j GROUP BY source)
+            SELECT source AS host,
+                   greatest(1, CAST(round(8 * keep_rate6 / 1000000.0, 0) AS INT)) AS crawl_budget
+            FROM sc
+        """,
+    }
+)

@@ -382,3 +382,165 @@ def recrawl_schedule(
         )
         .orderBy(F.col("priority").desc(), url_col)
     )
+
+
+def tracking_params(
+    captures: DataFrame,
+    url_col: str = "url",
+    digest_col: str = "digest",
+    min_groups: int = 1,
+) -> DataFrame:
+    """Mine content-irrelevant query parameters from capture history —
+    the URL-canonicalization learning loop search engines run over
+    their own crawls: a parameter whose value varies while the page
+    digest stays fixed (with every OTHER parameter held constant) is a
+    tracking/session parameter the canonicalizer should strip.
+
+    Evidence unit: a (host, path, other-params) context in which one
+    parameter took >= 2 distinct values.  If the digest was constant in
+    every such context seen for (host, param) — and at least
+    ``min_groups`` contexts exist — the parameter is content-irrelevant
+    on that host.  One param changing the page in ANY context clears it.
+
+    Complements ``detect_url_traps``: the trap detector caps shape
+    explosions defensively; this one LEARNS which parameters cause
+    them and feeds ``strip_params`` so the frontier stops minting the
+    duplicates at all (ref analog: the static F1 blacklist's
+    ``sid=``-style patterns, deployed/url_pattern_blacklist — learned
+    here instead of hand-listed).
+
+    Scale shape: regexp-only parsing rides the scan; the explode emits
+    one short row per (url, param) — digests are 16 bytes, bodies never
+    move; two partial-agg groupBys, both keyed by short strings.
+    Output: (host, param, n_contexts, invariant_contexts, is_tracking).
+    """
+    u = F.col(url_col)
+    parts = captures.select(
+        _trap_host(u).alias("host"),
+        F.regexp_extract(u, r"^[a-z][a-z0-9+.\-]*://[^/?#]+([^?#]*)", 1).alias("path"),
+        F.regexp_extract(u, r"\?([^#]*)", 1).alias("query"),
+        F.col(digest_col).alias("digest"),
+    ).filter(F.col("query") != "")
+    kvs = parts.withColumn("__kvs", F.split(F.col("query"), "&"))
+    ex = kvs.select(
+        "host",
+        "path",
+        "digest",
+        "__kvs",
+        F.posexplode("__kvs").alias("__i", "__kv"),
+    )
+    # context = every OTHER kv pair, order-normalized; duplicates of the
+    # same name are distinct pairs, so removing by POSITION keeps the
+    # context exact even for repeated params
+    others = F.array_join(
+        F.array_sort(
+            F.concat(
+                F.slice(F.col("__kvs"), 1, F.col("__i")),
+                F.slice(
+                    F.col("__kvs"),
+                    F.col("__i") + 2,
+                    F.size("__kvs") - F.col("__i") - 1,
+                ),
+            )
+        ),
+        "&",
+    )
+    inst = ex.select(
+        "host",
+        "path",
+        F.split(F.col("__kv"), "=")[0].alias("param"),
+        F.regexp_extract(F.col("__kv"), "=(.*)$", 1).alias("val"),
+        "digest",
+        others.alias("ctx"),
+    )
+    ctxs = inst.groupBy("host", "path", "ctx", "param").agg(
+        F.countDistinct("val").alias("__nv"),
+        F.countDistinct("digest").alias("__nd"),
+    )
+    varied = ctxs.filter(F.col("__nv") >= 2)
+    per_param = varied.groupBy("host", "param").agg(
+        F.count(F.lit(1)).cast("long").alias("n_contexts"),
+        F.sum(F.when(F.col("__nd") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("invariant_contexts"),
+    )
+    return per_param.withColumn(
+        "is_tracking",
+        (F.col("invariant_contexts") == F.col("n_contexts"))
+        & (F.col("n_contexts") >= min_groups),
+    )
+
+
+def strip_params(
+    urls: DataFrame,
+    tracking: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Rewrite URLs with their host's learned tracking parameters
+    removed (feed ``tracking_params`` output filtered to
+    ``is_tracking``).  Remaining parameters keep their original order —
+    order normalization is ``canonicalize_url``'s job; run this first.
+
+    Plan: the per-host param list collapses to one short array row per
+    host (collect_set over the mined table — already tiny) and
+    broadcast-joins the URL side; the rewrite is a filter over the
+    split query array.  The 100 TB url side never shuffles.
+    """
+    u = F.col(url_col)
+    per_host = tracking.groupBy("host").agg(
+        F.collect_set("param").alias("__strip")
+    )
+    d = urls.withColumn("__h", _trap_host(u)).join(
+        F.broadcast(per_host),
+        F.col("__h") == per_host["host"],
+        "left",
+    ).drop("host")
+    base = F.regexp_extract(u, r"^([^?#]*)", 1)
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    frag = F.regexp_extract(u, r"(#.*)$", 1)
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda kv: ~F.array_contains(F.col("__strip"), F.split(kv, "=")[0]),
+    )
+    rebuilt = F.when(
+        F.col("__strip").isNull() | (query == ""), u
+    ).otherwise(
+        F.concat(
+            base,
+            F.when(F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))).otherwise(
+                F.lit("")
+            ),
+            frag,
+        )
+    )
+    return d.withColumn(url_col, rebuilt).drop("__h", "__strip")
+
+
+def scorecard_budgets(
+    scorecard: DataFrame,
+    group_col: str = "source",
+    default_budget: int = DEFAULT_BUDGET,
+    floor_budget: int = 1,
+) -> DataFrame:
+    """Close the curation->crawl feedback loop: turn the per-domain
+    ``textstats.domain_scorecard`` into next round's politeness budgets
+    — a domain keeping keep_rate of its docs through the curation gates
+    earns round(default * keep_rate) fetch slots, never below
+    ``floor_budget`` (every domain keeps a probe budget so a recovered
+    site can climb back).  An SEO farm whose keep_rate collapses stops
+    consuming crawl capacity the very next round.
+
+    Output is a valid ``politeness_schedule`` robots dim: (host,
+    crawl_budget, disallow_prefixes=[]); merge with real robots rules by
+    joining on host and keeping the least budget.  Integer micro-unit
+    arithmetic end-to-end — budgets are byte-stable across engines.
+    """
+    b = F.greatest(
+        F.lit(floor_budget),
+        F.round(F.lit(default_budget) * F.col("keep_rate6") / 1000000.0, 0).cast("int"),
+    )
+    return scorecard.select(
+        F.col(group_col).alias("host"),
+        b.alias("crawl_budget"),
+        F.array().cast("array<string>").alias("disallow_prefixes"),
+    )

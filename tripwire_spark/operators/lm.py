@@ -141,3 +141,51 @@ def lm_perplexity(
             ).alias("ppl"),
         )
     )
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 4096,
+) -> DataFrame:
+    """CCNet's head/middle/tail corpus partition (Wenzek et al. 2020
+    §4.3): rank documents by perplexity ascending and cut the corpus
+    into thirds — 'head' reads most like the trusted training corpus
+    and is sampled preferentially downstream.
+
+    Bucket arithmetic is exact and engine-portable: with ``pos`` the
+    0-based global rank in (ppl_micro, id) order and ``n`` the scored
+    count, bucket = floor(3*pos/n) — the single-window SQL restatement
+    an oracle runs; here the rank comes from ``packing.global_rank``
+    (two-phase range-bucket cumsum, no single-partition sort) and ``n``
+    from a 1-row broadcast.  Perplexity is compared in integer
+    micro-units so the order is total and byte-stable.  Documents with
+    no score (under 2 tokens) are excluded — they have no perplexity to
+    rank by.
+
+    Output: (id, n_grams, ppl, ppl_bucket in {'head','middle','tail'}).
+    """
+    from tripwire_spark.operators.packing import global_rank
+
+    scored = (
+        lm_perplexity(docs, model, id_col=id_col, text_col=text_col, buckets=buckets)
+        .filter(F.col("ppl").isNotNull())
+        .withColumn("__pplu", F.round(F.col("ppl") * 1000000.0, 0).cast("long"))
+    )
+    ranked = global_rank(scored, "__pplu", tiebreak=(id_col,), pos_col="__pos")
+    n = scored.agg(F.count(F.lit(1)).alias("__n"))
+    b = F.floor(F.col("__pos") * 3 / F.col("__n"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .select(
+            id_col,
+            "n_grams",
+            "ppl",
+            F.when(b == 0, F.lit("head"))
+            .when(b == 1, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("ppl_bucket"),
+        )
+    )

@@ -193,3 +193,65 @@ def split_corpus(
     last = F.lit(names[-1])
     split = last if expr is None else expr.otherwise(last)
     return docs.withColumn("split", split)
+
+
+def global_rank(
+    docs: DataFrame,
+    key_col: str,
+    tiebreak: tuple[str, ...] = (),
+    n_buckets: int = 64,
+    pos_col: str = "pos",
+) -> DataFrame:
+    """0-based global position of every row in (key, *tiebreak) order,
+    without a single-partition sort — the same two-phase range-bucket /
+    per-bucket window / n_buckets-row prefix cumsum as ``pack_shards``
+    (see module docstring), generalized from token offsets to row
+    ranks.  ``key_col`` must be numeric (hash string keys to int64
+    first); ``tiebreak`` must make the order total or the rank is
+    partitioning-dependent."""
+    rng = docs.agg(F.min(key_col).alias("__mn"), F.max(key_col).alias("__mx"))
+    d = docs.crossJoin(F.broadcast(rng))
+    width = (F.col("__mx") - F.col("__mn")) / n_buckets + 1
+    d = d.withColumn("__bkt", F.floor((F.col(key_col) - F.col("__mn")) / width))
+    w_in = Window.partitionBy("__bkt").orderBy(key_col, *tiebreak)
+    d = d.withColumn("__rn", F.row_number().over(w_in))
+    totals = d.groupBy("__bkt").agg(F.count(F.lit(1)).alias("__t"))
+    w_tot = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = totals.select(
+        "__bkt", F.coalesce(F.sum("__t").over(w_tot), F.lit(0)).alias("__prefix")
+    )
+    out = d.join(F.broadcast(prefix), "__bkt")
+    return out.select(
+        *docs.columns,
+        (F.col("__prefix") + F.col("__rn") - 1).cast("long").alias(pos_col),
+    )
+
+
+def shuffle_corpus(
+    docs: DataFrame,
+    seed: str = "",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every document gets
+    a ``pos`` in the order of md5(seed || '|' || id) — a reproducible
+    pseudo-random permutation with no RNG state, stable across engines,
+    runs, and cluster sizes, re-derivable for any epoch by changing
+    ``seed``.  Pretraining requires exactly this: a shuffled corpus
+    whose order an auditor can replay.
+
+    The sort key is the md5 top-32-bits (uniform, so the range buckets
+    of ``global_rank`` balance); ties (hash collisions) break on the id
+    itself, keeping the order total.  Cost: one narrow projection plus
+    the two-phase rank — no global single-partition sort.
+    """
+    key = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    d = docs.withColumn("__shufkey", key)
+    ranked = global_rank(
+        d, "__shufkey", tiebreak=(id_col,), n_buckets=n_buckets, pos_col="pos"
+    )
+    return ranked.drop("__shufkey")
