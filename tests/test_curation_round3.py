@@ -313,3 +313,101 @@ def test_bpe_segment_applies_merges(spark):
     for d in (1, 2):
         assert "".join(out[d]["pieces"]) == toks[d]
         assert out[d]["n_pieces"] == len(out[d]["pieces"])
+
+
+# ---------- streaming session rollup --------------------------------------
+
+
+def test_session_rollup_stream_matches_batch(spark, tmp_path):
+    import shutil
+
+    from tripwire_spark.operators.logs import session_stats, sessionize
+    from tripwire_spark.streaming.monitor import session_rollup_stream
+
+    SF = "/root/testdata/sf0.001"
+    src = tmp_path / "sess_src"
+    src.mkdir(exist_ok=True)
+    shutil.copy(f"{SF}/events.parquet", src / "events.parquet")
+    batch0 = spark.read.parquet(f"{SF}/events.parquet")
+    logs_cols = [
+        F.format_string("site%02d.test", F.pmod(F.col("user_id"), F.lit(5))).alias("host"),
+        # parquet TIMESTAMP_NTZ -> TIMESTAMP: watermarks require an
+        # instant-typed event time
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("event_id").alias("rid"),
+    ]
+    batch = batch0.select(*logs_cols)
+    stream = (
+        spark.readStream.schema(batch0.schema).parquet(str(src)).select(*logs_cols)
+    )
+
+    agg = session_rollup_stream(stream, gap="1 hour")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sessout")
+        .option("checkpointLocation", str(tmp_path / "cks"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.host, r.session_start, r.session_end): r.n_rows
+        for r in spark.sql("SELECT * FROM sessout").collect()
+    }
+    want = {
+        (r.host, r.session_start, r.session_end): r.n_rows
+        for r in session_rollup_stream(batch, gap="1 hour").collect()
+    }
+    assert got == want and len(want) > 0
+
+    # the native session_window rollup agrees with the batch
+    # lag/cumsum operator on session count and sizes per host
+    b = sessionize(
+        batch.withColumn("ts_s", F.unix_timestamp("ts")), gap_s=3600, order_cols=("rid",)
+    )
+    st = session_stats(b)
+    by_host_batch = {
+        r.host: sorted(r.sizes)
+        for r in st.groupBy("host").agg(F.collect_list("n_rows").alias("sizes")).collect()
+    }
+    by_host_stream: dict[str, list[int]] = {}
+    for (h, _s, _e), n in want.items():
+        by_host_stream.setdefault(h, []).append(n)
+    assert {h: sorted(v) for h, v in by_host_stream.items()} == by_host_batch
+
+
+def test_scorecard_budget_feeds_politeness(spark):
+    # curation->crawl loop: a low-keep-rate domain gets a smaller claim
+    # budget through the REAL politeness_schedule path
+    from tripwire_spark.operators.frontier import (
+        ST_QUEUED,
+        politeness_schedule,
+        scorecard_budgets,
+    )
+
+    sc = spark.createDataFrame(
+        [("good.test", 1000000), ("farm.test", 0)], "source string, keep_rate6 long"
+    )
+    budgets = scorecard_budgets(sc, default_budget=4)
+    rows = []
+    qid = 0
+    for host in ("good.test", "farm.test"):
+        for i in range(6):
+            qid += 1
+            rows.append(
+                (qid, f"http://{host}/p{i}", qid * 7, host, 1, 0, ST_QUEUED,
+                 "default", 1, 0, None, None)
+            )
+    frontier = spark.createDataFrame(
+        rows,
+        "qid long, url string, url_hash long, host string, alexa int, try int, "
+        "status string, queue string, vid int, round_added int, weight double, ck long",
+    )
+    claimed, disabled = politeness_schedule(frontier, robots=budgets)
+    per_host = {
+        r["host"]: r["n"]
+        for r in claimed.groupBy("host").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per_host == {"good.test": 4, "farm.test": 1}
+    assert disabled.count() == 0

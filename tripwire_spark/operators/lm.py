@@ -173,6 +173,10 @@ def perplexity_buckets(
         lm_perplexity(docs, model, id_col=id_col, text_col=text_col, buckets=buckets)
         .filter(F.col("ppl").isNotNull())
         .withColumn("__pplu", F.round(F.col("ppl") * 1000000.0, 0).cast("long"))
+        # scored feeds global_rank's min/max agg, its rank window, AND
+        # the n-count — checkpoint so the LM scoring subtree (gram
+        # explode + model joins + per-doc sum) runs exactly once
+        .localCheckpoint(eager=True)
     )
     ranked = global_rank(scored, "__pplu", tiebreak=(id_col,), pos_col="__pos")
     n = scored.agg(F.count(F.lit(1)).alias("__n"))

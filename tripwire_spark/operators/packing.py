@@ -150,6 +150,13 @@ def pack_shards(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     d = d.withColumn("__cum_in", F.coalesce(F.sum(token_col).over(w_in), F.lit(0)))
+    # The windowed frame feeds BOTH the bucket-totals agg and the final
+    # join; without materializing it each branch re-scans and re-shuffles
+    # the whole input (verified in the physical plan — the groupBy's
+    # map-side partial agg makes its exchange child differ from the
+    # window's, so ReusedExchange never fires).  One eager checkpoint
+    # costs one local write and halves the corpus shuffles.
+    d = d.localCheckpoint(eager=True)
 
     totals = d.groupBy("__bkt").agg(F.sum(token_col).alias("__t"))
     w_tot = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
@@ -208,14 +215,23 @@ def global_rank(
     (see module docstring), generalized from token offsets to row
     ranks.  ``key_col`` must be numeric (hash string keys to int64
     first); ``tiebreak`` must make the order total or the rank is
-    partitioning-dependent."""
+    partitioning-dependent.
+
+    The rank window ships EVERY column of ``docs`` through its
+    exchange, so for a wide corpus pass a slim (id, key) projection and
+    join ``pos`` back by id — exactly what the callers here do."""
     rng = docs.agg(F.min(key_col).alias("__mn"), F.max(key_col).alias("__mx"))
     d = docs.crossJoin(F.broadcast(rng))
     width = (F.col("__mx") - F.col("__mn")) / n_buckets + 1
     d = d.withColumn("__bkt", F.floor((F.col(key_col) - F.col("__mn")) / width))
     w_in = Window.partitionBy("__bkt").orderBy(key_col, *tiebreak)
     d = d.withColumn("__rn", F.row_number().over(w_in))
-    totals = d.groupBy("__bkt").agg(F.count(F.lit(1)).alias("__t"))
+    # materialize once: totals and the final join otherwise each
+    # re-execute the scan + window shuffle (same reasoning as
+    # pack_shards above); totals then read max(row_number) per bucket
+    # off the checkpoint instead of re-aggregating the input
+    d = d.localCheckpoint(eager=True)
+    totals = d.groupBy("__bkt").agg(F.max("__rn").alias("__t"))
     w_tot = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
     prefix = totals.select(
         "__bkt", F.coalesce(F.sum("__t").over(w_tot), F.lit(0)).alias("__prefix")

@@ -249,3 +249,40 @@ def recheck_schedule(
         "scheduled_ts",
         F.col(ts_col).cast("timestamp") + F.col("delay_s").cast("int") * F.expr("INTERVAL 1 SECOND"),
     )
+
+
+# --- crawl-log session rollups (streaming twin of operators.logs) ----------
+
+
+def session_rollup_stream(
+    logs: DataFrame,
+    key_col: str = "host",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Structured-Streaming twin of ``logs.sessionize`` +
+    ``session_stats``: Spark's native ``session_window`` closes a
+    per-key session after ``gap`` of event-time silence — the SAME
+    gap-splitting rule the batch operator expresses with lag/cumsum —
+    and emits one finalized rollup row per session once the watermark
+    passes its close.
+
+    Output: (key, session_start, session_end, n_rows) — the streaming
+    state is bounded by open sessions per key (merged incrementally;
+    late rows beyond ``watermark`` are dropped, the standard trade the
+    batch path does not have to make).  ``ts_col`` must be a timestamp
+    column on the stream.  Works identically on a batch frame, which is
+    how tests pin stream == batch semantics.
+    """
+    w = logs.withWatermark(ts_col, watermark) if logs.isStreaming else logs
+    return (
+        w.groupBy(F.col(key_col), F.session_window(F.col(ts_col), gap))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        .select(
+            key_col,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_rows",
+        )
+    )
