@@ -3637,7 +3637,7 @@ def _bpe_vocab_cte() -> str:
               WHERE NOT contains(word, chr(31)) AND NOT contains(word, chr(10))
               GROUP BY word),
             s0 AS (
-              SELECT {s} || regexp_replace(word, '(.)', {s} || '\\1' || {s}, 'g') || {s} AS syms, cnt
+              SELECT {s} || regexp_replace(word, '(?s)(.)', {s} || '\\1' || {s}, 'g') || {s} AS syms, cnt
               FROM vocab)"""
 
 
@@ -3647,7 +3647,7 @@ def _bpe_segment_oracle() -> str:
 
     merges = [(" ", "t"), ("h", "e"), (" t", "he")]
     s = "chr(31)"
-    rew = f"{s} || regexp_replace(u.word, '(.)', {s} || '\\1' || {s}, 'g') || {s}"
+    rew = f"{s} || regexp_replace(u.word, '(?s)(.)', {s} || '\\1' || {s}, 'g') || {s}"
     for l, r in merges:
         pat = _sql_lit(SEP + l + SEP + SEP + r + SEP)
         rep = _sql_lit(SEP + l + r + SEP)
@@ -3659,7 +3659,8 @@ def _bpe_segment_oracle() -> str:
             e AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)),
                             i -> {{'pos': i, 'word': ws[i]}})) AS u FROM w),
             seg AS (SELECT doc_id, u.pos AS pos,
-                           string_split({rew}, chr(31)||chr(31)) AS a FROM e),
+                           string_split({rew}, chr(31)||chr(31)) AS a
+                    FROM e WHERE NOT contains(u.word, chr(31))),
             ps AS (SELECT doc_id, pos, a[2:len(a)-1] AS p FROM seg)
             SELECT doc_id, CAST(sum(len(p)) AS BIGINT) AS n_pieces,
                    string_agg(array_to_string(p, chr(30)), chr(30) ORDER BY pos) AS pieces_str

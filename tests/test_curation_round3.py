@@ -216,11 +216,7 @@ def test_clean_text_sql_twin_matches(spark):
     ]
     con = duckdb.connect()
     duck_out = [
-        con.execute(f"select {clean_text_sql('?')}").fetchone()[0].__str__()
-        if False
-        else con.execute(
-            "select " + clean_text_sql("$1::varchar"), [s]
-        ).fetchone()[0]
+        con.execute("select " + clean_text_sql("$1::varchar"), [s]).fetchone()[0]
         for s in samples
     ]
     assert spark_out == duck_out
@@ -301,8 +297,6 @@ def test_bpe_segment_applies_merges(spark):
     )
     merges = [(l, r) for l, r, _ in train_bpe_merges(docs, 3)]
     out = {r["doc_id"]: r for r in bpe_segment(docs, merges).collect()}
-    joined1 = "".join(out[1]["pieces"])
-    assert joined1 == "low low lower".replace(" ", " ") or joined1.replace(" ", "")
     # every document's pieces re-concatenate to its pre-token stream
     from tripwire_spark.operators.textstats import bpe_tokens
 
@@ -411,3 +405,65 @@ def test_scorecard_budget_feeds_politeness(spark):
     }
     assert per_host == {"good.test": 4, "farm.test": 1}
     assert disabled.count() == 0
+
+
+# ---------- review-finding regressions -------------------------------------
+
+
+def test_bpe_survives_line_terminators(spark):
+    # blank lines pre-tokenize to "\n\n" / "\r" whitespace tokens; the
+    # DOTALL seed must fence them (Java '.' alone would not), so
+    # neither training nor segmentation crashes or drops characters
+    from tripwire_spark.operators.bpe import bpe_segment, train_bpe_merges
+    from tripwire_spark.operators.textstats import bpe_tokens
+
+    docs = spark.createDataFrame(
+        [(1, "para one\n\npara two"), (2, "mac\rline  sep two two")],
+        "doc_id long, text string",
+    )
+    merges = [(l, r) for l, r, _ in train_bpe_merges(docs, 2, min_count=1)]
+    out = {r["doc_id"]: r for r in bpe_segment(docs, merges).collect()}
+    toks = {
+        r["doc_id"]: "".join(r["t"])
+        for r in docs.select("doc_id", bpe_tokens(F.col("text")).alias("t")).collect()
+    }
+    for d in (1, 2):
+        assert "".join(out[d]["pieces"]) == toks[d]
+
+
+def test_strip_params_keeps_caller_host_column(spark):
+    from tripwire_spark.operators.frontier import strip_params
+
+    tracking = spark.createDataFrame([("s.test", "sid")], "host string, param string")
+    urls = spark.createDataFrame(
+        [("http://s.test/a?sid=1&p=2", "s.test")], "url string, host string"
+    )
+    out = strip_params(urls, tracking)
+    assert "host" in out.columns
+    row = out.collect()[0]
+    assert row["host"] == "s.test" and row["url"] == "http://s.test/a?p=2"
+
+
+def test_global_rank_full_range_and_null_keys(spark):
+    from pyspark.sql import functions as F2
+
+    from tripwire_spark.operators.packing import global_rank
+
+    # xxhash64-style keys spanning the full signed-64 range: the
+    # (mx - mn) subtraction must not wrap and scramble buckets
+    df = spark.createDataFrame([(i,) for i in range(300)], "id long").select(
+        "id", F2.xxhash64("id").alias("key")
+    )
+    rows = [(r["id"], r["key"]) for r in df.collect()]
+    out = {r["id"]: r["pos"] for r in global_rank(df, "key", tiebreak=("id",)).collect()}
+    expect = {
+        rid: p for p, (rid, _) in enumerate(sorted(rows, key=lambda t: (t[1], t[0])))
+    }
+    assert out == expect
+
+    # NULL keys rank first, deterministically, and no row is dropped
+    dfn = spark.createDataFrame(
+        [(1, None), (2, 10), (3, None), (4, 5)], "id long, key long"
+    )
+    got = {r["id"]: r["pos"] for r in global_rank(dfn, "key", tiebreak=("id",)).collect()}
+    assert got == {1: 0, 3: 1, 4: 2, 2: 3}

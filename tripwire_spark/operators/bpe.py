@@ -42,9 +42,13 @@ SEP = "\x1f"
 
 def _seed_syms(word: Column) -> Column:
     """'ab' -> '<SS>a<SS>b<SS>': every character its own double-fenced
-    symbol."""
+    symbol.  DOTALL is load-bearing: Java '.' excludes line terminators
+    (\\r, \\u2028, ...) so a bare ``(.)`` would leave such characters
+    unfenced — producing a fence-less string whose interior slice has
+    negative length (crash) or silently dropped characters; (?s) also
+    restores parity with the RE2 oracle, whose '.' matches \\r."""
     return F.concat(
-        F.lit(SEP), F.regexp_replace(word, "(.)", SEP + "$1" + SEP), F.lit(SEP)
+        F.lit(SEP), F.regexp_replace(word, "(?s)(.)", SEP + "$1" + SEP), F.lit(SEP)
     )
 
 
@@ -53,8 +57,10 @@ def word_vocab(
 ) -> DataFrame:
     """(word, cnt) over the GPT-2-style pre-token stream — the one
     corpus-sized pass; everything downstream works on this table.
-    Words containing the fence char or newlines are dropped (they
-    cannot be represented; in real text they do not occur)."""
+    Words containing the fence char are dropped (unrepresentable; never
+    occur in real text); words containing newlines are dropped as a
+    SEMANTIC choice mirrored by the oracle — merges spanning a line
+    break are worthless to a tokenizer."""
     w = docs.select(F.explode(bpe_tokens(F.col(text_col))).alias("word"))
     return (
         w.filter(~F.col("word").contains(SEP) & ~F.col("word").contains("\n"))
@@ -144,9 +150,16 @@ def bpe_segment(
     """(id, n_pieces, pieces) per document under a merge list: the
     pre-token stream re-segmented subword-wise and re-flattened.
     Zero shuffles — explode + segment + partial-agg groupBy(id)."""
-    seg = docs.select(
-        F.col(id_col), F.posexplode(bpe_tokens(F.col(text_col))).alias("pos", "word")
-    ).select(id_col, "pos", bpe_apply(F.col("word"), merges).alias("pieces"))
+    seg = (
+        docs.select(
+            F.col(id_col), F.posexplode(bpe_tokens(F.col(text_col))).alias("pos", "word")
+        )
+        # fence chars are unrepresentable (same guard as word_vocab,
+        # mirrored in the oracle twin); such pre-tokens are dropped, so
+        # reconstruction equals the FILTERED token stream
+        .filter(~F.col("word").contains(SEP))
+        .select(id_col, "pos", bpe_apply(F.col("word"), merges).alias("pieces"))
+    )
     # collect_list order is partition-dependent; the sort on the carried
     # position restores document order deterministically
     ordered = F.flatten(

@@ -487,14 +487,17 @@ def strip_params(
     split query array.  The 100 TB url side never shuffles.
     """
     u = F.col(url_col)
+    # rename the dim key before joining: .drop("host") after a join
+    # would drop EVERY host column, including one the caller's url
+    # frame legitimately carries (frontier tables all do)
     per_host = tracking.groupBy("host").agg(
         F.collect_set("param").alias("__strip")
-    )
+    ).select(F.col("host").alias("__sp_host"), "__strip")
     d = urls.withColumn("__h", _trap_host(u)).join(
         F.broadcast(per_host),
-        F.col("__h") == per_host["host"],
+        F.col("__h") == F.col("__sp_host"),
         "left",
-    ).drop("host")
+    ).drop("__sp_host")
     base = F.regexp_extract(u, r"^([^?#]*)", 1)
     query = F.regexp_extract(u, r"\?([^#]*)", 1)
     frag = F.regexp_extract(u, r"(#.*)$", 1)

@@ -141,8 +141,13 @@ def pack_shards(
         F.min(order_col).alias("__mn"), F.max(order_col).alias("__mx")
     )
     d = docs.crossJoin(F.broadcast(rng))
-    width = (F.col("__mx") - F.col("__mn")) / n_buckets + 1
-    d = d.withColumn("__bkt", F.floor((F.col(order_col) - F.col("__mn")) / width))
+    # double-space bucketing: full-range int64 order keys must not wrap
+    # (__mx - __mn); see global_rank
+    width = (F.col("__mx").cast("double") - F.col("__mn").cast("double")) / n_buckets + 1
+    d = d.withColumn(
+        "__bkt",
+        F.floor((F.col(order_col).cast("double") - F.col("__mn").cast("double")) / width),
+    )
 
     w_in = (
         Window.partitionBy("__bkt")
@@ -219,11 +224,23 @@ def global_rank(
 
     The rank window ships EVERY column of ``docs`` through its
     exchange, so for a wide corpus pass a slim (id, key) projection and
-    join ``pos`` back by id — exactly what the callers here do."""
+    join ``pos`` back by id — exactly what the callers here do.
+
+    NULL keys rank first (deterministically, by tiebreak) in their own
+    bucket.  Bucketing arithmetic runs in double so full-range int64
+    keys (e.g. xxhash64 output) cannot wrap (__mx - __mn) negative and
+    scramble the bucket order; floor of a monotone double map keeps
+    buckets monotone in key, which is all correctness needs."""
     rng = docs.agg(F.min(key_col).alias("__mn"), F.max(key_col).alias("__mx"))
     d = docs.crossJoin(F.broadcast(rng))
-    width = (F.col("__mx") - F.col("__mn")) / n_buckets + 1
-    d = d.withColumn("__bkt", F.floor((F.col(key_col) - F.col("__mn")) / width))
+    kd = F.col(key_col).cast("double")
+    width = (F.col("__mx").cast("double") - F.col("__mn").cast("double")) / n_buckets + 1
+    d = d.withColumn(
+        "__bkt",
+        F.when(F.col(key_col).isNull(), F.lit(-1)).otherwise(
+            F.floor((kd - F.col("__mn").cast("double")) / width)
+        ),
+    )
     w_in = Window.partitionBy("__bkt").orderBy(key_col, *tiebreak)
     d = d.withColumn("__rn", F.row_number().over(w_in))
     # materialize once: totals and the final join otherwise each
