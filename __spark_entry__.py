@@ -1983,7 +1983,26 @@ def q_scorecard_budgets(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_doc_length_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    # EXACT corpus quantiles (engine-stable percentile_disc semantics
+    # with id tiebreak) via the two-phase global rank
+    from tripwire_spark.operators.packing import exact_quantiles
+
+    d = _t(spark, sf, "documents")
+    return exact_quantiles(d, "n_chars", (0.05, 0.5, 0.95))
+
+
+def q_length_band(spark: SparkSession, sf: str) -> DataFrame:
+    # outlier trim: keep docs inside the exact [P10, P90] length band
+    from tripwire_spark.operators.packing import quantile_band
+
+    d = _t(spark, sf, "documents").select("doc_id", "n_chars")
+    return quantile_band(d, "n_chars", lo=0.10, hi=0.90)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "doc_length_quantiles": q_doc_length_quantiles,
+    "length_band": q_length_band,
     "sessionize": q_sessionize,
     "crawl_sessions": q_crawl_sessions,
     "tracking_params": q_tracking_params,
@@ -3800,6 +3819,34 @@ ORACLES.update(
             SELECT source AS host,
                    greatest(1, CAST(round(8 * keep_rate6 / 1000000.0, 0) AS INT)) AS crawl_budget
             FROM sc
+        """,
+    }
+)
+
+ORACLES.update(
+    {
+        "doc_length_quantiles": """
+            WITH s AS (SELECT doc_id, n_chars FROM documents WHERE n_chars IS NOT NULL),
+            r AS (SELECT n_chars,
+                         row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS pos,
+                         count(*) OVER () AS n
+                  FROM s)
+            SELECT q, value FROM (
+              SELECT CAST(0.05 AS DOUBLE) AS q, n_chars AS value FROM r WHERE pos = floor(0.05 * (n - 1))
+              UNION ALL SELECT CAST(0.5 AS DOUBLE), n_chars FROM r WHERE pos = floor(0.5 * (n - 1))
+              UNION ALL SELECT CAST(0.95 AS DOUBLE), n_chars FROM r WHERE pos = floor(0.95 * (n - 1)))
+        """,
+        "length_band": """
+            WITH s AS (SELECT doc_id, n_chars FROM documents WHERE n_chars IS NOT NULL),
+            r AS (SELECT n_chars,
+                         row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS pos,
+                         count(*) OVER () AS n
+                  FROM s),
+            lo AS (SELECT n_chars AS v FROM r WHERE pos = floor(0.10 * (n - 1))),
+            hi AS (SELECT n_chars AS v FROM r WHERE pos = floor(0.90 * (n - 1)))
+            SELECT d.doc_id, d.n_chars,
+                   d.n_chars >= lo.v AND d.n_chars <= hi.v AS in_band
+            FROM documents d CROSS JOIN lo CROSS JOIN hi
         """,
     }
 )

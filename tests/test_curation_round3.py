@@ -5,7 +5,6 @@ from __future__ import annotations
 
 from collections import Counter
 
-import pytest
 from pyspark.sql import functions as F
 
 
@@ -467,3 +466,66 @@ def test_global_rank_full_range_and_null_keys(spark):
     )
     got = {r["id"]: r["pos"] for r in global_rank(dfn, "key", tiebreak=("id",)).collect()}
     assert got == {1: 0, 3: 1, 4: 2, 2: 3}
+
+
+# ---------- exact quantiles -------------------------------------------------
+
+
+def test_exact_quantiles_match_reference(spark):
+    from tripwire_spark.operators.packing import exact_quantiles
+
+    vals = [((i * 53) % 997) for i in range(400)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "doc_id long, v long"
+    )
+    got = {r["q"]: r["value"] for r in exact_quantiles(df, "v", (0.0, 0.25, 0.5, 0.95, 1.0)).collect()}
+    sv = sorted(vals)
+    n = len(sv)
+    import math
+
+    expect = {q: sv[math.floor(q * (n - 1))] for q in (0.0, 0.25, 0.5, 0.95, 1.0)}
+    assert got == expect
+
+
+def test_quantile_band_trims_tails(spark):
+    from tripwire_spark.operators.packing import quantile_band
+
+    df = spark.createDataFrame([(i, i) for i in range(101)], "doc_id long, v long")
+    out = quantile_band(df, "v", lo=0.10, hi=0.90)
+    kept = sorted(r["doc_id"] for r in out.filter(F.col("in_band")).collect())
+    assert kept == list(range(10, 91))
+    assert out.count() == 101  # verdict column, nothing dropped
+
+
+def test_clean_text_invariants_on_nasty_corpus(spark):
+    # one Spark pass over a deliberately nasty corpus: every mojibake
+    # table entry, control chars, nbsp runs, boundary whitespace
+    import duckdb
+
+    from tripwire_spark.functions.text_clean import MOJIBAKE, clean_text, clean_text_sql
+
+    samples = [f"x {bad} y" for bad, _ in MOJIBAKE]
+    samples += [
+        "".join(chr(c) for c in range(0, 32)) + "end",
+        "  run of nbsp ",
+        "  lead and trail  ",
+        "line \n  next\t\tline \n",
+        "",
+        "\x7f\x80\x9fdel and c1",
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(samples)], "i long, t string")
+    got = {
+        r["i"]: r["c"] for r in df.select("i", clean_text(F.col("t")).alias("c")).collect()
+    }
+    con = duckdb.connect()
+    for i, s in enumerate(samples):
+        c = got[i]
+        # no C0 (except \n) / C1 / DEL / nbsp / tab survives
+        assert all(
+            not (ord(ch) < 32 and ch != "\n") and not (127 <= ord(ch) <= 160)
+            for ch in c
+        ), (s, c)
+        assert "  " not in c and not c.startswith(" ") and not c.endswith(" ")
+        # the generated SQL twin agrees byte-for-byte
+        duck = con.execute("select " + clean_text_sql("$1::varchar"), [s]).fetchone()[0]
+        assert duck == c, (s, c, duck)

@@ -76,10 +76,12 @@ def strip_control(col: Column) -> Column:
 
 
 def normalize_ws(col: Column) -> Column:
-    """nbsp -> space, collapse space/tab runs, strip spaces hugging
-    newlines, trim the ends.  Newlines themselves survive — the C4 line
+    """Line endings -> \\n, nbsp -> space, collapse space/tab runs,
+    strip spaces hugging newlines, trim the ends.  Newlines themselves survive — the C4 line
     gates and sentence segmenter are line-based."""
-    c = F.replace(col, F.lit("\u00a0"), F.lit(" "))
+    c = F.replace(col, F.lit("\r\n"), F.lit("\n"))
+    c = F.replace(c, F.lit("\r"), F.lit("\n"))
+    c = F.replace(c, F.lit("\u00a0"), F.lit(" "))
     c = F.regexp_replace(c, "[ \\t]+", " ")
     c = F.regexp_replace(c, " ?\\n ?", "\n")
     return F.trim(c)
@@ -115,6 +117,8 @@ def clean_text_sql(expr: str) -> str:
     for bad, good in MOJIBAKE:
         out = f"replace({out}, {_sql_lit(bad)}, {_sql_lit(good)})"
     out = f"regexp_replace({out}, '{_CTRL_RE}', '', 'g')"
+    out = f"replace({out}, {_sql_lit(chr(13) + chr(10))}, {_sql_lit(chr(10))})"
+    out = f"replace({out}, {_sql_lit(chr(13))}, {_sql_lit(chr(10))})"
     out = f"replace({out}, {_sql_lit(chr(0xA0))}, ' ')"
     out = f"regexp_replace({out}, '[ \\t]+', ' ', 'g')"
     out = f"regexp_replace({out}, ' ?\\n ?', {_sql_lit(chr(10))}, 'g')"

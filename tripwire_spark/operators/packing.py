@@ -288,3 +288,62 @@ def shuffle_corpus(
         d, "__shufkey", tiebreak=(id_col,), n_buckets=n_buckets, pos_col="pos"
     )
     return ranked.drop("__shufkey")
+
+
+def exact_quantiles(
+    docs: DataFrame,
+    value_col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75),
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """EXACT quantiles of a numeric column, engine- and cluster-size-
+    stable — Spark ships only approx_percentile at scale; this builds
+    the exact answer on ``global_rank`` (no single-partition sort).
+
+    Semantics = percentile_disc with a deterministic id tiebreak: the
+    q-quantile is the value at 0-based rank floor(q * (n-1)) in
+    (value, id) order.  Cost: one slim (id, value) rank plus an
+    n_buckets-row prefix — the payload never moves.
+
+    Output: (q, value) — one row per requested quantile, exactly
+    reproducible by a row_number restatement in any engine."""
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    slim = docs.select(id_col, value_col).filter(F.col(value_col).isNotNull())
+    ranked = global_rank(slim, value_col, tiebreak=(id_col,), n_buckets=n_buckets, pos_col="__pos")
+    n = slim.agg(F.count(F.lit(1)).alias("__n"))
+    r = ranked.crossJoin(F.broadcast(n))
+    picks = None
+    for q in qs:
+        hit = r.filter(
+            F.col("__pos") == F.floor(F.lit(float(q)) * (F.col("__n") - 1))
+        ).select(F.lit(float(q)).alias("q"), F.col(value_col).alias("value"))
+        picks = hit if picks is None else picks.unionByName(hit)
+    return picks
+
+
+def quantile_band(
+    docs: DataFrame,
+    value_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep rows whose ``value_col`` lies within the [lo, hi] exact-
+    quantile band — the standard outlier trim before curation gates
+    (tail lengths are boilerplate or binary junk; head lengths are
+    stubs).  The two cutoffs come from ``exact_quantiles`` and join
+    back as a 1-row broadcast, so the corpus is filtered scan-side.
+
+    Output: input columns plus ``in_band``."""
+    qv = exact_quantiles(docs, value_col, (lo, hi), id_col=id_col)
+    cuts = qv.agg(
+        F.min(F.when(F.col("q") == float(lo), F.col("value"))).alias("__lo"),
+        F.max(F.when(F.col("q") == float(hi), F.col("value"))).alias("__hi"),
+    )
+    out = docs.crossJoin(F.broadcast(cuts))
+    return out.withColumn(
+        "in_band",
+        (F.col(value_col) >= F.col("__lo")) & (F.col(value_col) <= F.col("__hi")),
+    ).drop("__lo", "__hi")
