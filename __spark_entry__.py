@@ -3850,3 +3850,111 @@ ORACLES.update(
         """,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# round-3 session additions (3): TrustRank + spam mass
+
+def q_trust_rank(spark: SparkSession, sf: str) -> DataFrame:
+    # Seed-teleport TrustRank over the same synthetic host graph as
+    # host_rank; trusted seeds = h00..h09
+    from tripwire_spark.operators.graph import trust_rank
+
+    e = _t(spark, sf, "events").select(
+        F.format_string("h%02d", F.pmod(F.col("user_id"), F.lit(50)).cast("int")).alias("src"),
+        F.format_string("h%02d", F.pmod(F.col("event_id"), F.lit(50)).cast("int")).alias("dst"),
+    )
+    seeds = (
+        _t(spark, sf, "events")
+        .filter(F.pmod(F.col("user_id"), F.lit(50)) < 10)
+        .select(
+            F.format_string("h%02d", F.pmod(F.col("user_id"), F.lit(50)).cast("int")).alias("node")
+        )
+        .distinct()
+    )
+    return trust_rank(e, seeds, iterations=3)
+
+
+def q_spam_mass(spark: SparkSession, sf: str) -> DataFrame:
+    # relative spam mass: PageRank share unbacked by trust, integer-exact
+    from tripwire_spark.operators.graph import page_rank, spam_mass, trust_rank
+
+    e = _t(spark, sf, "events").select(
+        F.format_string("h%02d", F.pmod(F.col("user_id"), F.lit(50)).cast("int")).alias("src"),
+        F.format_string("h%02d", F.pmod(F.col("event_id"), F.lit(50)).cast("int")).alias("dst"),
+    )
+    seeds = (
+        _t(spark, sf, "events")
+        .filter(F.pmod(F.col("user_id"), F.lit(50)) < 10)
+        .select(
+            F.format_string("h%02d", F.pmod(F.col("user_id"), F.lit(50)).cast("int")).alias("node")
+        )
+        .distinct()
+    )
+    return spam_mass(page_rank(e, iterations=3), trust_rank(e, seeds, iterations=3))
+
+
+QUERIES.update({"trust_rank": q_trust_rank, "spam_mass": q_spam_mass})
+
+
+def _rank_iter_ctes(kind: str, iters: int = 3) -> str:
+    """Unrolled integer rank iterations; kind 'pr' (uniform teleport)
+    or 'tr' (seed teleport) — same arithmetic the Spark loops run."""
+    U = "CAST(1000000000000 AS BIGINT)"
+    out = []
+    if kind == "pr":
+        out.append(f"pr0 AS (SELECT node, {U} // n.n AS r FROM nd, n)")
+        tele = f"{U} * 15 // 100 // n.n"
+        base_from = "nd CROSS JOIN n"
+        pfx = "pr"
+    else:
+        out.append(
+            f"tr0 AS (SELECT nd.node, CASE WHEN sd.node IS NOT NULL THEN {U} // ns.ns ELSE 0 END AS r"
+            "  FROM nd LEFT JOIN sd ON nd.node = sd.node CROSS JOIN ns)"
+        )
+        tele = f"CASE WHEN sd.node IS NOT NULL THEN {U} * 15 // 100 // ns.ns ELSE 0 END"
+        base_from = "nd LEFT JOIN sd ON nd.node = sd.node CROSS JOIN ns"
+        pfx = "tr"
+    for i in range(1, iters + 1):
+        out.append(
+            f"{pfx}c{i} AS (SELECT e.d AS node, CAST(sum({pfx}{i-1}.r // od.od) AS BIGINT) AS c"
+            f"  FROM e JOIN {pfx}{i-1} ON e.s = {pfx}{i-1}.node JOIN od ON e.s = od.s GROUP BY e.d)"
+        )
+        out.append(
+            f"{pfx}{i} AS (SELECT nd.node, {tele} + 85 * coalesce({pfx}c{i}.c, 0) // 100 AS r"
+            f"  FROM {base_from} LEFT JOIN {pfx}c{i} ON nd.node = {pfx}c{i}.node)"
+        )
+    return ",\n            ".join(out)
+
+
+_GRAPH_BASE_CTES = """e AS (
+              SELECT DISTINCT printf('h%02d', CAST(user_id % 50 AS INT)) AS s,
+                              printf('h%02d', CAST(event_id % 50 AS INT)) AS d
+              FROM events),
+            nd AS (SELECT DISTINCT node FROM (SELECT s AS node FROM e UNION ALL SELECT d FROM e)),
+            n AS (SELECT count(*) AS n FROM nd),
+            od AS (SELECT s, count(*) AS od FROM e GROUP BY s),
+            sd AS (SELECT DISTINCT printf('h%02d', CAST(user_id % 50 AS INT)) AS node
+                   FROM events WHERE user_id % 50 < 10),
+            ns AS (SELECT count(*) AS ns FROM sd)"""
+
+ORACLES.update(
+    {
+        "trust_rank": f"""
+            WITH {_GRAPH_BASE_CTES},
+            {_rank_iter_ctes('tr')}
+            SELECT node, CAST(r AS BIGINT) AS trust_micro FROM tr3
+        """,
+        "spam_mass": f"""
+            WITH {_GRAPH_BASE_CTES},
+            {_rank_iter_ctes('pr')},
+            {_rank_iter_ctes('tr')}
+            SELECT p.node, CAST(p.r AS BIGINT) AS rank_micro,
+                   CAST(t.r AS BIGINT) AS trust_micro,
+                   CAST(CASE WHEN p.r > 0
+                             THEN greatest(0, p.r - t.r) * 1000000 // p.r
+                             ELSE 0 END AS BIGINT) AS spam_mass6
+            FROM pr3 p JOIN tr3 t ON p.node = t.node
+        """,
+    }
+)

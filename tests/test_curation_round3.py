@@ -529,3 +529,55 @@ def test_clean_text_invariants_on_nasty_corpus(spark):
         # the generated SQL twin agrees byte-for-byte
         duck = con.execute("select " + clean_text_sql("$1::varchar"), [s]).fetchone()[0]
         assert duck == c, (s, c, duck)
+
+
+# ---------- trust_rank / spam_mass ----------------------------------------
+
+
+def _ref_trust_rank(edges, seeds, iterations=3, d=85):
+    UNIT = 10**12
+    nodes = sorted({s for s, _ in edges} | {t for _, t in edges})
+    e = sorted(set(edges))
+    od = {}
+    for s, _ in e:
+        od[s] = od.get(s, 0) + 1
+    ns = len(seeds)
+    r = {v: (UNIT // ns if v in seeds else 0) for v in nodes}
+    for _ in range(iterations):
+        c = {v: 0 for v in nodes}
+        for s, t in e:
+            c[t] += r[s] // od[s]
+        r = {
+            v: (UNIT * (100 - d) // 100 // ns if v in seeds else 0)
+            + d * c[v] // 100
+            for v in nodes
+        }
+    return r
+
+
+def test_trust_rank_matches_reference_and_starves_farms(spark):
+    from tripwire_spark.operators.graph import page_rank, spam_mass, trust_rank
+
+    # trusted cluster t0<->t1 -> good; spam farm f0<->f1<->f2 heavily
+    # self-linked, no path from trusted side
+    edges = [
+        ("t0", "t1"), ("t1", "t0"), ("t0", "good"), ("t1", "good"),
+        ("f0", "f1"), ("f1", "f2"), ("f2", "f0"), ("f0", "f2"),
+        ("f2", "f1"), ("f1", "f0"),
+    ]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    seeds = spark.createDataFrame([("t0",), ("t1",)], "node string")
+    got = {r["node"]: r["trust_micro"] for r in trust_rank(e, seeds).collect()}
+    assert got == _ref_trust_rank(edges, {"t0", "t1"})
+    # farm nodes get exactly zero trust; the linked 'good' page gets some
+    assert got["f0"] == got["f1"] == got["f2"] == 0
+    assert got["good"] > 0
+
+    sm = {
+        r["node"]: r["spam_mass6"]
+        for r in spam_mass(page_rank(e), trust_rank(e, seeds)).collect()
+    }
+    # farm: all rank is unbacked by trust
+    assert sm["f0"] == sm["f1"] == sm["f2"] == 1000000
+    # trusted seeds carry little spam mass, farms carry the most
+    assert sm["t0"] < 500000 and sm["good"] < sm["f0"]

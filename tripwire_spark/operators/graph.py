@@ -152,3 +152,93 @@ def anchor_text_profile(
         .filter(F.col("rnk") <= k)
         .select("target", "rnk", "text", "n", "n_inlinks")
     )
+
+
+def trust_rank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+    iterations: int = 3,
+    damping_pct: int = 85,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """TrustRank (Gyongyi et al., VLDB 2004): PageRank whose teleport
+    mass flows ONLY to a hand-vetted trusted seed set, so authority
+    must travel over real links from trusted hosts — link farms that
+    manufacture PageRank out of their own teleport share get none.
+    The crawl-side complement to the content-level SEO signals
+    (domain_scorecard keep-rate, url traps).
+
+        t0(v)     = UNIT div S          if v in seeds else 0
+        t_i+1(v)  = [v in seeds] * (UNIT*(100-D)) div 100 div S
+                    + D * sum_in(t_i(u) div outdeg(u)) div 100
+
+    Same integer micro-unit discipline as ``page_rank`` (bit-identical
+    on any engine or cluster size; floor-division leakage documented
+    there).  ``seeds`` is one column of trusted nodes — a dimension
+    table, broadcast; per iteration the same edges-join + partial-agg
+    groupBy as page_rank.  Returns (node, trust_micro)."""
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
+    nodes = (
+        e.select(F.col("s").alias("node")).union(e.select(F.col("d").alias("node"))).distinct()
+    )
+    outdeg = e.groupBy("s").agg(F.count(F.lit(1)).alias("od"))
+    sd = seeds.select(F.col(seed_col).alias("node")).distinct()
+    s1 = sd.select(F.count(F.lit(1)).alias("ns"))
+    base = (
+        nodes.join(F.broadcast(sd.withColumn("__seed", F.lit(1))), "node", "left")
+        .crossJoin(F.broadcast(s1))
+        .select("node", F.coalesce("__seed", F.lit(0)).alias("__seed"), "ns")
+    )
+    ranks = base.selectExpr(
+        "node", f"__seed * (CAST({UNIT} AS BIGINT) div ns) AS r"
+    )
+    for i in range(iterations):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "s"), "s")
+            .join(outdeg, "s")
+            .selectExpr("d AS node", "r div od AS c")
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = base.join(contrib, "node", "left").selectExpr(
+            "node",
+            f"__seed * (CAST({UNIT} AS BIGINT) * {100 - damping_pct} div 100 div ns)"
+            f" + {damping_pct} * coalesce(c, CAST(0 AS BIGINT)) div 100 AS r",
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("node", F.col("r").alias("trust_micro"))
+
+
+def spam_mass(page_ranks: DataFrame, trust_ranks: DataFrame) -> DataFrame:
+    """Relative spam mass (Gyongyi et al. 2006): the share of a node's
+    PageRank NOT backed by trust — mass6 = (pr - tr) / pr in 6-dp
+    micro-units, clamped to [0, 1e6].  High spam mass + high rank =
+    link farm; feed it to the frontier the same way as
+    ``host_rank_weights`` (negated) or gate budgets on it.  One
+    broadcast join of two (node, long) tables."""
+    pr = page_ranks.select("node", "rank_micro")
+    tr = trust_ranks.select("node", "trust_micro")
+    j = pr.join(F.broadcast(tr), "node", "left").select(
+        "node",
+        "rank_micro",
+        F.coalesce("trust_micro", F.lit(0)).alias("trust_micro"),
+    )
+    # all-integer, all-non-negative: clamp the diff BEFORE the integer
+    # division so Spark's truncating `div` and ANSI floor-division agree
+    # (they differ only on negatives), and no double ever rounds
+    return j.withColumn(
+        "spam_mass6",
+        F.when(
+            F.col("rank_micro") > 0,
+            F.expr(
+                "greatest(CAST(0 AS BIGINT), rank_micro - trust_micro)"
+                " * 1000000 div rank_micro"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
