@@ -3832,9 +3832,9 @@ ORACLES.update(
                          count(*) OVER () AS n
                   FROM s)
             SELECT q, value FROM (
-              SELECT CAST(0.05 AS DOUBLE) AS q, n_chars AS value FROM r WHERE pos = floor(0.05 * (n - 1))
-              UNION ALL SELECT CAST(0.5 AS DOUBLE), n_chars FROM r WHERE pos = floor(0.5 * (n - 1))
-              UNION ALL SELECT CAST(0.95 AS DOUBLE), n_chars FROM r WHERE pos = floor(0.95 * (n - 1)))
+              SELECT CAST(0.05 AS DOUBLE) AS q, n_chars AS value FROM r WHERE pos = (50000 * (n - 1)) // 1000000
+              UNION ALL SELECT CAST(0.5 AS DOUBLE), n_chars FROM r WHERE pos = (500000 * (n - 1)) // 1000000
+              UNION ALL SELECT CAST(0.95 AS DOUBLE), n_chars FROM r WHERE pos = (950000 * (n - 1)) // 1000000)
         """,
         "length_band": """
             WITH s AS (SELECT doc_id, n_chars FROM documents WHERE n_chars IS NOT NULL),
@@ -3842,8 +3842,8 @@ ORACLES.update(
                          row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS pos,
                          count(*) OVER () AS n
                   FROM s),
-            lo AS (SELECT n_chars AS v FROM r WHERE pos = floor(0.10 * (n - 1))),
-            hi AS (SELECT n_chars AS v FROM r WHERE pos = floor(0.90 * (n - 1)))
+            lo AS (SELECT n_chars AS v FROM r WHERE pos = (100000 * (n - 1)) // 1000000),
+            hi AS (SELECT n_chars AS v FROM r WHERE pos = (900000 * (n - 1)) // 1000000)
             SELECT d.doc_id, d.n_chars,
                    d.n_chars >= lo.v AND d.n_chars <= hi.v AS in_band
             FROM documents d CROSS JOIN lo CROSS JOIN hi

@@ -481,9 +481,10 @@ def test_exact_quantiles_match_reference(spark):
     got = {r["q"]: r["value"] for r in exact_quantiles(df, "v", (0.0, 0.25, 0.5, 0.95, 1.0)).collect()}
     sv = sorted(vals)
     n = len(sv)
-    import math
-
-    expect = {q: sv[math.floor(q * (n - 1))] for q in (0.0, 0.25, 0.5, 0.95, 1.0)}
+    expect = {
+        q: sv[round(q * 1000000) * (n - 1) // 1000000]
+        for q in (0.0, 0.25, 0.5, 0.95, 1.0)
+    }
     assert got == expect
 
 
@@ -581,3 +582,38 @@ def test_trust_rank_matches_reference_and_starves_farms(spark):
     assert sm["f0"] == sm["f1"] == sm["f2"] == 1000000
     # trusted seeds carry little spam mass, farms carry the most
     assert sm["t0"] < 500000 and sm["good"] < sm["f0"]
+
+
+def test_exact_quantiles_rational_pick_regression(spark):
+    # q=0.7 over 91 rows: decimal semantics pick rank floor(0.7*90)=63;
+    # double arithmetic yields 62.999... -> 62.  The integer-rational
+    # pick must give 63 (the value 630 here).
+    from tripwire_spark.operators.packing import exact_quantiles
+
+    df = spark.createDataFrame([(i, i * 10) for i in range(91)], "doc_id long, v long")
+    got = {r["q"]: r["value"] for r in exact_quantiles(df, "v", (0.7,)).collect()}
+    assert got == {0.7: 630}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        exact_quantiles(df, "v", (0.5, 1.5))
+    with _pytest.raises(ValueError):
+        exact_quantiles(df, "v", ())
+
+
+def test_trust_rank_rejects_empty_or_absent_seeds(spark):
+    import pytest as _pytest
+
+    from tripwire_spark.operators.graph import trust_rank
+
+    e = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with _pytest.raises(ValueError):
+        trust_rank(e, spark.createDataFrame([], "node string"))
+    with _pytest.raises(ValueError):
+        trust_rank(e, spark.createDataFrame([("zzz",)], "node string"))
+    # absent seeds are dropped from ns: one present seed gets FULL unit
+    seeds = spark.createDataFrame([("a",), ("not-in-graph",)], "node string")
+    got = {r["node"]: r["trust_micro"] for r in trust_rank(e, seeds, iterations=1).collect()}
+    # t1(a) = teleport only (no in-edges): UNIT*15//100//1
+    assert got["a"] == 10**12 * 15 // 100

@@ -185,7 +185,22 @@ def trust_rank(
         e.select(F.col("s").alias("node")).union(e.select(F.col("d").alias("node"))).distinct()
     )
     outdeg = e.groupBy("s").agg(F.count(F.lit(1)).alias("od"))
-    sd = seeds.select(F.col(seed_col).alias("node")).distinct()
+    # seeds absent from the graph are dropped BEFORE counting ns: they
+    # can neither hold nor propagate mass, and counting them would
+    # silently dilute every present seed's teleport share (total
+    # injected trust must be UNIT regardless of how many vetted hosts
+    # have been crawled yet)
+    sd = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .join(nodes, "node", "left_semi")
+    )
+    if sd.isEmpty():
+        raise ValueError(
+            "trust_rank: no seed appears in the graph — an empty teleport "
+            "set would make every trust score NULL/zero and spam_mass "
+            "would flag the whole web as spam"
+        )
     s1 = sd.select(F.count(F.lit(1)).alias("ns"))
     base = (
         nodes.join(F.broadcast(sd.withColumn("__seed", F.lit(1))), "node", "left")
@@ -213,16 +228,22 @@ def trust_rank(
     return ranks.select("node", F.col("r").alias("trust_micro"))
 
 
-def spam_mass(page_ranks: DataFrame, trust_ranks: DataFrame) -> DataFrame:
+def spam_mass(
+    page_ranks: DataFrame, trust_ranks: DataFrame, use_broadcast: bool = True
+) -> DataFrame:
     """Relative spam mass (Gyongyi et al. 2006): the share of a node's
     PageRank NOT backed by trust — mass6 = (pr - tr) / pr in 6-dp
     micro-units, clamped to [0, 1e6].  High spam mass + high rank =
     link farm; feed it to the frontier the same way as
-    ``host_rank_weights`` (negated) or gate budgets on it.  One
-    broadcast join of two (node, long) tables."""
+    ``host_rank_weights`` (negated) or gate budgets on it.  One join of
+    two (node, long) tables — broadcast by default; past ~10^7 nodes
+    pass ``use_broadcast=False`` for a plain shuffle join (the same
+    dial, threshold, and reasoning as ``host_rank_weights``)."""
     pr = page_ranks.select("node", "rank_micro")
     tr = trust_ranks.select("node", "trust_micro")
-    j = pr.join(F.broadcast(tr), "node", "left").select(
+    if use_broadcast:
+        tr = F.broadcast(tr)
+    j = pr.join(tr, "node", "left").select(
         "node",
         "rank_micro",
         F.coalesce("trust_micro", F.lit(0)).alias("trust_micro"),

@@ -302,25 +302,41 @@ def exact_quantiles(
     the exact answer on ``global_rank`` (no single-partition sort).
 
     Semantics = percentile_disc with a deterministic id tiebreak: the
-    q-quantile is the value at 0-based rank floor(q * (n-1)) in
-    (value, id) order.  Cost: one slim (id, value) rank plus an
-    n_buckets-row prefix — the payload never moves.
+    q-quantile is the value at 0-based rank (q6 * (n-1)) div 1e6 in
+    (value, id) order, with q6 = q in integer MICRO-UNITS.  The rank is
+    computed in exact integer arithmetic on purpose: floor(double(q) *
+    (n-1)) disagrees with decimal/SQL evaluation whenever q*(n-1) is an
+    exact integer but q's binary double rounds low (q=0.7, n=91:
+    decimal floor(0.7*90)=63, double floor(62.99999...)=62), so a
+    double-based pick cannot be reproduced by a SQL oracle.  Cost: one
+    slim (id, value) rank plus an n_buckets-row prefix — the payload
+    never moves, the source is scanned once (n comes off the
+    checkpointed rank, and all quantiles are picked in ONE pass).
 
     Output: (q, value) — one row per requested quantile, exactly
     reproducible by a row_number restatement in any engine."""
     if not qs:
         raise ValueError("qs must be non-empty")
+    if any(q < 0 or q > 1 for q in qs):
+        raise ValueError(f"every q must be in [0, 1], got {qs}")
     slim = docs.select(id_col, value_col).filter(F.col(value_col).isNotNull())
     ranked = global_rank(slim, value_col, tiebreak=(id_col,), n_buckets=n_buckets, pos_col="__pos")
-    n = slim.agg(F.count(F.lit(1)).alias("__n"))
+    n = ranked.agg((F.max("__pos") + 1).alias("__n"))
     r = ranked.crossJoin(F.broadcast(n))
-    picks = None
-    for q in qs:
-        hit = r.filter(
-            F.col("__pos") == F.floor(F.lit(float(q)) * (F.col("__n") - 1))
-        ).select(F.lit(float(q)).alias("q"), F.col(value_col).alias("value"))
-        picks = hit if picks is None else picks.unionByName(hit)
-    return picks
+    targets = F.array(
+        *[
+            F.struct(
+                F.lit(float(q)).alias("q"),
+                F.expr(f"{round(float(q) * 1000000)} * (__n - 1) div 1000000").alias("p"),
+            )
+            for q in qs
+        ]
+    )
+    hit = F.filter(targets, lambda s: s["p"] == F.col("__pos"))
+    return (
+        r.select(F.col(value_col).alias("value"), F.explode(hit).alias("__t"))
+        .select(F.col("__t.q").alias("q"), "value")
+    )
 
 
 def quantile_band(
