@@ -1812,10 +1812,18 @@ def q_robots_parse(spark: SparkSession, sf: str) -> DataFrame:
     # oracle is an independent closed-form derivation of the same
     # synthetic corpus, so every parsing rule (case-insensitive keys,
     # trailing comments, blank lines inside a group, empty Disallow,
-    # named-group-shadows-star) is pinned end to end.
+    # named-group-shadows-star) is pinned end to end.  The sorted
+    # prefix array is projected to a '|'-joined scalar so the driver's
+    # pandas row-hash canonicalizer (which sorts cell values) never
+    # sees a list-typed cell.
     from tripwire_spark.functions.robots import parse_robots
 
-    return parse_robots(_synth_robots_bodies(spark, sf), agent="TripwireBot")
+    parsed = parse_robots(_synth_robots_bodies(spark, sf), agent="TripwireBot")
+    return parsed.select(
+        "host",
+        F.array_join(F.col("disallow_prefixes"), "|").alias("disallow_prefixes"),
+        "crawl_delay",
+    )
 
 
 def q_sitemap_urls(spark: SparkSession, sf: str) -> DataFrame:
@@ -2142,10 +2150,10 @@ ORACLES: dict[str, str] = {
     "robots_parse": """
         SELECT 'site' || s_suppkey || '.test' AS host,
                CASE WHEN s_suppkey % 3 = 0
-                      THEN ['/tw' || (s_suppkey % 5)]
+                      THEN '/tw' || (s_suppkey % 5)
                     WHEN s_suppkey % 4 <> 0
-                      THEN ['/cgi-bin', '/p' || (s_suppkey % 7)]
-                    ELSE CAST([] AS VARCHAR[]) END AS disallow_prefixes,
+                      THEN '/cgi-bin|/p' || (s_suppkey % 7)
+                    ELSE '' END AS disallow_prefixes,
                CASE WHEN s_suppkey % 3 = 0 THEN 7.0
                     WHEN s_suppkey % 4 <> 0 THEN CAST(1 + s_suppkey % 5 AS DOUBLE)
                     ELSE NULL END AS crawl_delay
