@@ -1958,8 +1958,11 @@ def q_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
     # corpus (vocab-sized state; driver sees one argmax row per merge)
     from tripwire_spark.operators.bpe import train_bpe_merges
 
+    # min_count=1: the unrolled DuckDB oracle always emits 3 merge
+    # rows, so the trainer must not stop early on a sparse corpus where
+    # the best pair count dips under the default floor of 2
     d = _t(spark, sf, "documents")
-    merges = train_bpe_merges(d, 3)
+    merges = train_bpe_merges(d, 3, min_count=1)
     return spark.createDataFrame(
         [(i + 1, l, r, c) for i, (l, r, c) in enumerate(merges)],
         "rank long, left string, right string, pair_cnt long",
@@ -3825,7 +3828,7 @@ ORACLES.update(
                                      / count(*), 0) AS BIGINT) AS keep_rate6
                    FROM j GROUP BY source)
             SELECT source AS host,
-                   greatest(1, CAST(round(8 * keep_rate6 / 1000000.0, 0) AS INT)) AS crawl_budget
+                   greatest(1, CAST((8 * keep_rate6 + 500000) // 1000000 AS INT)) AS crawl_budget
             FROM sc
         """,
     }

@@ -154,8 +154,10 @@ def bpe_segment(
         docs.select(
             F.col(id_col), F.posexplode(bpe_tokens(F.col(text_col))).alias("pos", "word")
         )
-        # fence chars are unrepresentable (same guard as word_vocab,
-        # mirrored in the oracle twin); such pre-tokens are dropped, so
+        # fence chars are unrepresentable (the SEP guard shared with
+        # word_vocab; the newline drop is a training-only word_vocab
+        # choice NOT applied here — segmentation keeps such words, see
+        # test_bpe_survives_line_terminators); dropped pre-tokens mean
         # reconstruction equals the FILTERED token stream
         .filter(~F.col("word").contains(SEP))
         .select(id_col, "pos", bpe_apply(F.col("word"), merges).alias("pieces"))

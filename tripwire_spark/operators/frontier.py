@@ -538,9 +538,11 @@ def scorecard_budgets(
     joining on host and keeping the least budget.  Integer micro-unit
     arithmetic end-to-end — budgets are byte-stable across engines.
     """
+    # half-up INTEGER arithmetic (keep_rate6 >= 0), no double rounding:
+    # the byte-stability claim holds by construction, engine-independent
     b = F.greatest(
         F.lit(floor_budget),
-        F.round(F.lit(default_budget) * F.col("keep_rate6") / 1000000.0, 0).cast("int"),
+        F.expr(f"cast(({default_budget} * keep_rate6 + 500000) div 1000000 as int)"),
     )
     return scorecard.select(
         F.col(group_col).alias("host"),

@@ -180,7 +180,9 @@ def perplexity_buckets(
     )
     ranked = global_rank(scored, "__pplu", tiebreak=(id_col,), pos_col="__pos")
     n = scored.agg(F.count(F.lit(1)).alias("__n"))
-    b = F.floor(F.col("__pos") * 3 / F.col("__n"))
+    # integer division end-to-end (matches the oracle's // exactly; a
+    # double quotient could in principle round across a bucket boundary)
+    b = F.expr("__pos * 3 div __n")
     return (
         ranked.crossJoin(F.broadcast(n))
         .select(
