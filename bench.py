@@ -210,6 +210,7 @@ def crawl_bench(
     num_partitions: int | None = None,
     reps: int | None = None,
     pages_path: str | None = None,
+    crawl_kwargs: dict | None = None,
 ) -> dict:
     """Frontier throughput: URLs scheduled+deduped per second.
 
@@ -228,6 +229,13 @@ def crawl_bench(
     from tripwire_spark.operators.crawl import run_crawl
     from tripwire_spark.sources.synth import BLACKLIST_PATTERNS, synth_pages, synth_robots
 
+    # A/B knobs (BENCH_SEEN_MODE / BENCH_FETCH_JOIN) flow into every
+    # run_crawl below so strategy experiments use the exact protocol.
+    crawl_kwargs = dict(crawl_kwargs or {})
+    if os.environ.get("BENCH_SEEN_MODE"):
+        crawl_kwargs.setdefault("seen_mode", os.environ["BENCH_SEEN_MODE"])
+    if os.environ.get("BENCH_FETCH_JOIN"):
+        crawl_kwargs.setdefault("fetch_join", os.environ["BENCH_FETCH_JOIN"])
     cached = False
     if pages_path:
         # NO persist: the crawl reads the parquet per round, exactly as a
@@ -254,7 +262,7 @@ def crawl_bench(
     _warm_python_workers(spark, int(spark.sparkContext.defaultParallelism))
     warm = run_crawl(
         spark, _mk_seeds(spark, max(1000, n_hosts // 50)), pages, robots,
-        BLACKLIST_PATTERNS, max_rounds=rounds, default_budget=6,
+        BLACKLIST_PATTERNS, max_rounds=rounds, default_budget=6, **crawl_kwargs,
     )
     warm.frontier.count()
     warm.release()
@@ -271,7 +279,8 @@ def crawl_bench(
         seeds = _mk_seeds(spark, n_hosts)
         t0 = time.time()
         state = run_crawl(
-            spark, seeds, pages, robots, BLACKLIST_PATTERNS, max_rounds=rounds, default_budget=6
+            spark, seeds, pages, robots, BLACKLIST_PATTERNS, max_rounds=rounds,
+            default_budget=6, **crawl_kwargs,
         )
         n_frontier = state.frontier.count()  # URLs scheduled + deduped
         rep_secs.append(round(time.time() - t0, 3))

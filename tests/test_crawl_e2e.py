@@ -163,6 +163,30 @@ def test_crawl_deterministic_across_runs(spark, fixture_tables):
     assert rows_a == rows_b
 
 
+def test_crawl_fetch_join_strategies_identical(spark, fixture_tables):
+    """fetch_join='shuffle_hash' (the past-10^8-claimed switchover) and
+    the cogroup seen mode must both produce the exact broadcast+scan
+    frontier — the flags trade plan shape, never results."""
+    from tripwire_spark.operators.crawl import run_crawl
+
+    pages, seeds, robots = fixture_tables
+
+    def rows(**kw):
+        st = run_crawl(
+            spark, seeds, pages, robots, BLACKLIST_PATTERNS,
+            max_rounds=2, default_budget=2, **kw,
+        )
+        out = sorted(map(tuple, st.frontier.select("qid", "url", "status", "try").collect()))
+        st.release()
+        return out
+
+    base = rows()
+    assert rows(fetch_join="shuffle_hash") == base
+    assert rows(seen_mode="cogroup") == base
+    assert rows(fetch_join="auto", fetch_join_threshold=1) == base  # forces shuffle_hash
+    assert rows(fetch_join="auto") == base  # stays broadcast at this scale
+
+
 def test_resume_from_checkpoint(spark, fixture_tables, tmp_path):
     """Kill after round 1, resume, final state == uninterrupted run."""
     from tripwire_spark.operators.crawl import run_crawl

@@ -3,6 +3,8 @@ bound, filter_unseen exactness (SURVEY.md §5.4)."""
 
 from __future__ import annotations
 
+import pytest
+
 import pyspark.sql.functions as F
 
 
@@ -151,10 +153,10 @@ def test_cuckoo_incremental_matches_full_build(spark):
 # -- SeenState delta segments (O(new) per-round state) -------------------
 
 
-def _admit(svc, cands, state):
+def _admit(svc, cands, state, mode="scan"):
     from tripwire_spark.operators.seen import SeenState
 
-    out = svc.admit(cands, state, hash_col="url_hash").persist()
+    out = svc.admit(cands, state, hash_col="url_hash", mode=mode).persist()
     fresh, delta = SeenState.split(out, ["url", "url_hash"])
     return fresh, delta
 
@@ -202,7 +204,7 @@ def test_seen_state_untouched_buckets_byte_identical(spark):
         .filter(svc.bucket_col(F.col("url_hash")).isin(0, 1))
         .persist()
     )
-    out = svc.admit(cands, state, hash_col="url_hash").persist()
+    out = svc.admit(cands, state, hash_col="url_hash", mode="cogroup").persist()
     # the state side of the cogroup is pruned to touched buckets only
     assert "LeftSemi" in out._jdf.queryExecution().executedPlan().toString()
     _, delta = SeenState.split(out, ["url", "url_hash"])
@@ -214,10 +216,11 @@ def test_seen_state_untouched_buckets_byte_identical(spark):
     assert all(b in (0, 1) for (b, s) in set(after) - set(before))
 
 
-def test_seen_state_segmented_membership_and_compact(spark):
+@pytest.mark.parametrize("mode", ["scan", "cogroup"])
+def test_seen_state_segmented_membership_and_compact(spark, mode):
     """Multi-round segmented state is membership-exact, re-admitting seen
     urls yields zero fresh, and compact() folds all segments into one per
-    bucket while preserving the exact hash set."""
+    bucket while preserving the exact hash set — in BOTH admit modes."""
     from tripwire_spark.operators.seen import SeenState
 
     svc = SeenState(n_buckets=4)
@@ -225,7 +228,7 @@ def test_seen_state_segmented_membership_and_compact(spark):
     hwm = 1000  # ids 0..hwm-1 admitted so far
     for start in (500, 1200, 1800):  # three overlapping rounds
         cands = _urls(spark, start, 1000).persist()
-        fresh, delta = _admit(svc, cands, state)
+        fresh, delta = _admit(svc, cands, state, mode=mode)
         # fresh = candidates minus everything admitted before (exact)
         got = sorted(r.url for r in fresh.collect())
         want = sorted(r.url for r in _urls(spark, hwm, start + 1000 - hwm).collect())
@@ -236,7 +239,7 @@ def test_seen_state_segmented_membership_and_compact(spark):
     total = sum(r.n_items for r in state.collect())
     assert total == 2800
     # re-admitting anything in range yields zero fresh
-    again, delta2 = _admit(svc, _urls(spark, 0, 2800), state)
+    again, delta2 = _admit(svc, _urls(spark, 0, 2800), state, mode=mode)
     assert again.count() == 0
     assert delta2.count() == 0  # no fresh -> no delta segment at all
     # compact: one seg=0 row per bucket, same membership
@@ -244,5 +247,49 @@ def test_seen_state_segmented_membership_and_compact(spark):
     rows = compacted.collect()
     assert len(rows) == len({r.bucket for r in rows}) and all(r.seg == 0 for r in rows)
     assert sum(r.n_items for r in rows) == 2800
-    again2, _ = _admit(svc, _urls(spark, 0, 2800), compacted)
+    again2, _ = _admit(svc, _urls(spark, 0, 2800), compacted, mode=mode)
     assert again2.count() == 0
+
+
+def test_seen_state_scan_mode_state_bytes_never_shuffled(spark):
+    """VERDICT r3 #4 (the last O(total)-per-round term): in scan mode
+    the state's segment blobs must move ZERO hops — no Exchange anywhere
+    in the admit plan may output a ``hashes``/``bloom`` column.  (The
+    delta's hashes exist only downstream of the applyInPandas build,
+    after every exchange.)  The cogroup mode plan FAILS this check by
+    design — that asymmetry is what the mode switch buys."""
+    from tripwire_spark.operators.seen import SeenState
+
+    def exchange_outputs(df):
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        # formatted explain: numbered nodes, then per-node detail blocks
+        # "(n) Exchange ... Output [...]" — collect each Exchange block
+        blocks, cur = [], None
+        for line in plan.splitlines():
+            if line.startswith("(") and ")" in line:
+                name = line.split(")", 1)[1].strip()
+                cur = name if name.startswith("Exchange") else None
+            elif cur and line.strip().startswith("Input"):
+                blocks.append(line)
+        return blocks
+
+    svc = SeenState(n_buckets=8)
+    state = svc.init(_urls(spark, 0, 4000), "url_hash").persist()
+    cands = _urls(spark, 2000, 4000)
+    scan = svc.admit(cands, state, hash_col="url_hash", mode="scan")
+    for b in exchange_outputs(scan):
+        assert "hashes" not in b and "bloom" not in b, b
+    # the discriminating control: cogroup mode DOES exchange state blobs
+    cg = svc.admit(cands, state, hash_col="url_hash", mode="cogroup")
+    assert any("hashes" in b for b in exchange_outputs(cg))
+    # and scan mode's answer is exactly cogroup mode's answer
+    fresh_s, delta_s = _admit(svc, cands, state, mode="scan")
+    fresh_c, delta_c = _admit(svc, cands, state, mode="cogroup")
+    assert sorted(r.url for r in fresh_s.collect()) == sorted(
+        r.url for r in fresh_c.collect()
+    )
+    assert sorted((r.bucket, r.n_items) for r in delta_s.collect()) == sorted(
+        (r.bucket, r.n_items) for r in delta_c.collect()
+    )

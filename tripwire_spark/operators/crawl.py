@@ -68,8 +68,21 @@ from tripwire_spark.sources.snapshots import open_snapshot_table
 FETCH_COLS = ["qid", "round_added", "try", "url", "host"]
 
 
-def fetch_extract(claimed: DataFrame, pages: DataFrame) -> DataFrame:
+def fetch_extract(claimed: DataFrame, pages: DataFrame, join: str = "broadcast") -> DataFrame:
     """J11 fetch + single-parse extraction, fused.
+
+    ``join="broadcast"`` (default): broadcast the claimed keys; the
+    pages fact side never shuffles AND never exchanges — right while
+    claimed rows/round stay under ~10^8 (~24 B/url of driver-built
+    broadcast).  ``join="shuffle_hash"``: hash-exchange BOTH sides on
+    the url hash — the build becomes distributed executor work instead
+    of single-threaded driver time (the 3x scale experiment measured
+    the broadcast build growing the per-round serial constant c from
+    24 s to 150 s; see BASELINE.md).  With the pages table stored
+    bucketed on the hash (sources/bucketed.py), the fact side of the
+    shuffle_hash plan reads pre-partitioned and only the claimed keys
+    move.  ``run_crawl(fetch_join="auto")`` picks per round by claimed
+    count.
 
     broadcast(claimed keys) INNER JOIN pages **on the 64-bit canonical
     url hash** (SURVEY §2.3 J11: the fetch is an equi-join on the
@@ -97,7 +110,10 @@ def fetch_extract(claimed: DataFrame, pages: DataFrame) -> DataFrame:
     pg = pages.select(
         F.xxhash64(F.col("url")).alias("p_hash"), "url", "warc_ts", "html", "lang"
     )
-    joined = keys.hint("broadcast").join(pg, keys["url_hash"] == pg["p_hash"], "inner")
+    if join not in ("broadcast", "shuffle_hash"):
+        raise ValueError(f"join must be 'broadcast' or 'shuffle_hash', got {join!r}")
+    keys = keys.hint(join)
+    joined = keys.join(pg, keys["url_hash"] == pg["p_hash"], "inner")
     return joined.select(
         "qid",
         "round_added",
@@ -129,6 +145,7 @@ def discover(
     clicked: DataFrame | None = None,
     trap_limit: int | None = None,
     trap_keep: int = 5,
+    seen_mode: str = "scan",
 ) -> tuple[DataFrame, DataFrame, DataFrame | None, DataFrame]:
     """Score, filter, canonicalize, dedup, and seen-filter new links.
 
@@ -223,8 +240,16 @@ def discover(
         # measured ~25% SLOWER at 8 slots; the admit chain reads the
         # already-materialized parsed blocks, so its cache race window
         # is narrow.
+        # seen_mode="scan" (default): the state is only SCANNED — its
+        # bytes never enter an exchange; every admit shuffle/broadcast
+        # is O(new links).  "cogroup" is the legacy one-wide-shuffle
+        # pass (right past ~10^8 new urls/round, where the candidate-
+        # hash broadcast would outgrow the exchange it avoids).
+        # next_seg=round_no skips the per-admit max(seg) state scan.
         admitted = seen_state.admit(
-            cands, state, hash_col="url_hash", order_cols=["__negw", "parent_qid", "pos"]
+            cands, state, hash_col="url_hash",
+            order_cols=["__negw", "parent_qid", "pos"],
+            mode=seen_mode, next_seg=round_no,
         ).persist()
         if caches is not None:
             caches.append(cands)
@@ -331,6 +356,9 @@ def run_crawl(
     identities: DataFrame | None = None,
     compact_every: int = 8,
     trap_limit: int | None = None,
+    seen_mode: str = "scan",
+    fetch_join: str = "broadcast",
+    fetch_join_threshold: int = 100_000_000,
 ) -> CrawlState:
     """The full crawl loop; one snapshot commit per round when
     ``checkpoint_dir`` is given; ``resume=True`` continues from the
@@ -479,7 +507,17 @@ def run_crawl(
         # (Job descriptions name each round's driver actions so event-log
         # profiling can attribute stages; zero cost otherwise.)
         _explain = os.environ.get("TRIPWIRE_CRAWL_EXPLAIN") == "1"
-        parsed_df = fetch_extract(claimed, pages)
+        # Fetch-join switchover (round-3 3x experiment, BASELINE.md):
+        # the driver-built claimed-set broadcast is per-round SERIAL
+        # time growing with budget x hosts; past fetch_join_threshold
+        # claimed rows the distributed shuffle_hash build wins.  "auto"
+        # pays one count on the (about-to-materialize) claimed cache.
+        strategy = fetch_join
+        if fetch_join == "auto":
+            strategy = (
+                "shuffle_hash" if claimed.count() > fetch_join_threshold else "broadcast"
+            )
+        parsed_df = fetch_extract(claimed, pages, join=strategy)
         if _explain:
             print(f"==== round {r} parsed plan ====")
             parsed_df.explain("formatted")
@@ -487,9 +525,13 @@ def run_crawl(
         parsed = parsed_df.localCheckpoint(eager=True)
         # (qid, round_added) is the frontier's unique key — qid alone can
         # collide between a seed (file_order) and a discovery (url_hash)
-        misses = claimed.join(
-            F.broadcast(parsed.select("qid", "round_added")), ["qid", "round_added"], "left_anti"
-        )
+        # Miss detection follows the same size logic: the parsed-keys
+        # side is O(claimed), so its broadcast outgrows a shuffle at the
+        # same threshold the fetch join does.
+        anti_keys = parsed.select("qid", "round_added")
+        if strategy == "broadcast":
+            anti_keys = F.broadcast(anti_keys)
+        misses = claimed.join(anti_keys, ["qid", "round_added"], "left_anti")
         fetched_meta = parsed.select(
             "qid", "round_added", "url", "host", "try", F.lit(True).alias("found")
         ).unionByName(
@@ -521,6 +563,7 @@ def run_crawl(
             links, seen, patterns, round_no=r, vid=vid,
             seen_state=seen_svc, state=seen_state_df, caches=round_caches,
             clicked=clicked if d2_nonempty else None, trap_limit=trap_limit,
+            seen_mode=seen_mode,
         )
         # (D2 fold happens at CLAIM time above — _admit_ck, the admitted
         # links' ck rows, is for standalone discover() callers only.)

@@ -320,6 +320,8 @@ class SeenState:
         state: DataFrame,
         hash_col: str = "url_hash",
         order_cols: list[str] | None = None,
+        mode: str = "scan",
+        next_seg: int | None = None,
     ) -> DataFrame:
         """(candidates, state) -> mixed rows: kind=0 fresh candidates,
         kind=1 the NEW delta segment per touched bucket (one row, only
@@ -327,11 +329,35 @@ class SeenState:
         Compose the next state with ``advance(state, delta)`` (in
         memory) or an append-commit of the delta (snapshot table).
 
-        The state side is pruned to TOUCHED buckets before the cogroup
+        ``mode="scan"`` (default — the scale-safe read side): the state
+        is ONLY SCANNED, never shuffled.  The candidates' per-bucket
+        sorted hash arrays are broadcast onto the state scan; each
+        segment probes the (tiny) array against its own sorted hashes
+        in place and emits just the HIT hashes (≤ O(new) rows).  Fresh
+        candidates are then the broadcast anti-join against those hits,
+        and the delta-segment build shuffles candidate rows only.  At
+        steady state every bucket is touched every round, so the old
+        cogroup shipped the ENTIRE state (~80 GB of hash arrays at
+        10^10 urls) through its exchange per round even though only
+        O(new) bytes were written; scan mode's exchanges carry O(new)
+        bytes end to end — the state's bytes move zero hops (asserted
+        by a plan test: no Exchange in the admit plan outputs a
+        ``hashes`` column).  The candidate-hash broadcast is O(new)
+        (~8 B/url); past ~10^8 new urls/round flip to ``mode="cogroup"``
+        (whose one wide exchange then beats a too-big broadcast — the
+        same threshold logic as the fetch join).
+
+        ``mode="cogroup"``: the original single-cogroup pass.  The
+        state side is pruned to TOUCHED buckets before the cogroup
         (broadcast semi-join on the candidates' distinct bucket set):
         buckets with no candidates this round contribute zero bytes to
         the shuffle and their stored rows flow to the next snapshot
         untouched.
+
+        ``next_seg``: segment id for this round's delta rows in scan
+        mode (pass the round number from a crawl loop — monotonic ids
+        are all advance/compact need).  Default derives max(seg)+1 from
+        a column-pruned state aggregate (no blob columns read).
 
         Dedup within the batch keeps the first row per ``hash_col`` in
         ``order_cols`` ascending order (pass a total order for
@@ -359,6 +385,14 @@ class SeenState:
         cand_cols = [f.name for f in cand_fields]
         state_pad = ("bloom", "hashes", "n_items", "m_bits", "k")
         out_cols = ["kind", "bucket", "seg", *cand_cols, *state_pad]
+
+        if mode == "scan":
+            return self._admit_scan(
+                candidates, state, hash_col, order_cols, next_seg,
+                out_schema, cand_cols, state_pad, out_cols,
+            )
+        if mode != "cogroup":
+            raise ValueError(f"admit mode must be 'scan' or 'cogroup', got {mode!r}")
 
         def step(key, cand: pd.DataFrame, st: pd.DataFrame):
             bucket = int(key[0])
@@ -420,6 +454,114 @@ class SeenState:
             .cogroup(state_in.groupBy(F.col("bucket").alias("__bucket")))
             .applyInPandas(step, schema=out_schema)
         )
+
+    def _admit_scan(
+        self,
+        candidates: DataFrame,
+        state: DataFrame,
+        hash_col: str,
+        order_cols: list[str],
+        next_seg: int | None,
+        out_schema,
+        cand_cols: list[str],
+        state_pad: tuple,
+        out_cols: list[str],
+    ) -> DataFrame:
+        """Scan-side admit (see ``admit`` docstring): state bytes never
+        enter an exchange; every shuffle/broadcast is O(new)."""
+        k_d, m_d = self.k, self.m_bits
+        cand = candidates.withColumn("__bucket", self.bucket_col(F.col(hash_col)))
+        # Per-bucket sorted candidate hash arrays: one O(new) partial-agg
+        # shuffle (collect_set partials merge executor-side), then one
+        # broadcast of ≤ n_buckets rows / O(new) total bytes.
+        cand_sets = cand.groupBy("__bucket").agg(
+            F.sort_array(F.collect_set(F.col(hash_col))).alias("__probe")
+        )
+        # State-side membership probe IN PLACE: the broadcast hash join
+        # streams the state scan (bucket + hashes only — bloom bytes are
+        # column-pruned away); each segment binary-searches the probe
+        # array against its sorted hashes and emits only the hits.
+        probed = state.select(
+            F.col("bucket").alias("__bucket"), "hashes"
+        ).join(F.broadcast(cand_sets), "__bucket", "inner")
+
+        def probe(iters):
+            for pdf in iters:
+                hits: list[np.ndarray] = []
+                for blob, parr in zip(pdf["hashes"], pdf["__probe"]):
+                    seg = np.frombuffer(blob, dtype=np.int64)
+                    if len(seg) == 0 or len(parr) == 0:
+                        continue
+                    p = np.asarray(parr, dtype=np.int64)
+                    idx = np.clip(np.searchsorted(seg, p), 0, len(seg) - 1)
+                    hit = p[seg[idx] == p]
+                    if len(hit):
+                        hits.append(hit)
+                yield pd.DataFrame(
+                    {"h": np.concatenate(hits) if hits else np.empty(0, dtype=np.int64)}
+                )
+
+        seen_h = probed.mapInPandas(probe, schema="h long")
+        # Fresh = candidates whose hash no segment contained.  The hits
+        # are ≤ O(new) rows, so they broadcast; anti-join keys may repeat
+        # across segments — left_anti is dup-insensitive, no distinct.
+        fresh_cand = cand.join(
+            F.broadcast(seen_h), cand[hash_col] == F.col("h"), "left_anti"
+        )
+        # Delta metadata (segment id + bloom geometry).  With an
+        # explicit next_seg (crawl loops pass the round number) the
+        # geometry is taken from this service — the same instance that
+        # init()ed the state — and the metadata costs ZERO extra jobs
+        # (plain literals).  Without one, a 1-row broadcast crossJoin
+        # derives max(seg)+1 and the stored geometry from a
+        # column-pruned state aggregate (no blob columns read).
+        if next_seg is not None:
+            fresh_ext = (
+                fresh_cand.withColumn("__nseg", F.lit(int(next_seg)).cast("int"))
+                .withColumn("__m", F.lit(m_d).cast("long"))
+                .withColumn("__k", F.lit(k_d).cast("int"))
+            )
+        else:
+            meta = state.agg(
+                (F.coalesce(F.max("seg"), F.lit(-1)) + 1).cast("int").alias("__nseg"),
+                F.coalesce(F.first("m_bits"), F.lit(m_d)).alias("__m"),
+                F.coalesce(F.first("k"), F.lit(k_d)).alias("__k"),
+            )
+            fresh_ext = fresh_cand.crossJoin(F.broadcast(meta))
+
+        def build(key, pdf: pd.DataFrame):
+            bucket = int(key[0])
+            nseg = int(pdf["__nseg"].iloc[0])
+            m = int(pdf["__m"].iloc[0])
+            kk = int(pdf["__k"].iloc[0])
+            pdf = pdf.drop(columns=["__bucket", "__nseg", "__m", "__k"])
+            if order_cols:
+                pdf = pdf.sort_values([hash_col, *order_cols], kind="mergesort")
+            pdf = pdf.drop_duplicates(subset=[hash_col], keep="first")
+            fhs = np.sort(pdf[hash_col].to_numpy(dtype=np.int64))
+            pdf = pdf.copy()
+            pdf.insert(0, "kind", 0)
+            pdf.insert(1, "bucket", bucket)
+            pdf.insert(2, "seg", None)
+            for c in state_pad:
+                pdf[c] = None
+            if len(fhs) == 0:
+                return pdf[out_cols]
+            delta_bloom = np.zeros((m + 7) // 8, dtype=np.uint8)
+            pos = _positions(fhs, kk, m).ravel()
+            np.bitwise_or.at(delta_bloom, pos // 8, np.uint8(1) << (pos % 8).astype(np.uint8))
+            st_row = {c: [None] for c in cand_cols}
+            st_row.update(
+                kind=[1], bucket=[bucket], seg=[nseg],
+                bloom=[delta_bloom.tobytes()], hashes=[fhs.tobytes()],
+                n_items=[len(fhs)], m_bits=[m], k=[kk],
+            )
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", FutureWarning)
+                out = pd.concat([pdf, pd.DataFrame(st_row)], ignore_index=True)
+            return out[out_cols]
+
+        return fresh_ext.groupBy("__bucket").applyInPandas(build, schema=out_schema)
 
     @staticmethod
     def split(admitted: DataFrame, cand_cols: list[str]) -> tuple[DataFrame, DataFrame]:
