@@ -308,9 +308,6 @@ def main() -> None:
     import __spark_entry__ as entrymod
     from tripwire_spark.session import get_spark
 
-    spark = get_spark("bench", cores=cores, shuffle_partitions=cores)
-    spark.range(1000).selectExpr("sum(id)").collect()  # JVM warmup
-
     headline = [
         "tpch_q1",
         "login_info_5way",
@@ -324,13 +321,37 @@ def main() -> None:
         "quality_classifier",
         "curation_verdicts",
     ]
+    # Micro-query phase with its OWN noise evidence + bounded retry
+    # (round-3's artifact regressed these 1.5-2.4x inside a loadavg-26
+    # window and couldn't prove it was weather — the crawl windows
+    # already had clean/dirty classification, the query phase didn't).
+    # Clean = the PRE-phase 1-min loadavg (external load only — our
+    # queries haven't started) decayed below the quiet target; a dirty
+    # phase is re-run once and per-query minima are kept.
     qs = entrymod.queries()
     times: dict[str, float] = {}
-    for name in headline:
-        t0 = time.time()
-        _force(qs[name](spark, sf_dir))
-        times[name] = round(time.time() - t0, 3)
-    _stop(spark)
+    query_phase_log: list[dict] = []
+    for attempt in range(2):
+        wait_q = _wait_quiet()
+        pre = os.getloadavg()[0]
+        spark = get_spark(f"bench-queries-{attempt}", cores=cores, shuffle_partitions=cores)
+        spark.range(1000).selectExpr("sum(id)").collect()  # JVM warmup
+        t_at: dict[str, float] = {}
+        with _LoadSampler() as ls:
+            for name in headline:
+                t0 = time.time()
+                _force(qs[name](spark, sf_dir))
+                t_at[name] = round(time.time() - t0, 3)
+        _stop(spark)
+        clean = pre <= 3.5
+        query_phase_log.append(
+            {"attempt": attempt, "pre_load": round(pre, 2), "load_mean": ls.mean,
+             "load_peak": ls.peak, "clean": clean, "wait_s": wait_q, "times": t_at}
+        )
+        for k, v in t_at.items():
+            times[k] = min(times.get(k, v), v)
+        if clean:
+            break
 
     # Frontier crawl throughput (sf0.1 -> 60k hosts, 600k ~13 KB pages).
     #
@@ -532,6 +553,9 @@ def main() -> None:
         "windows": window_log,
         "windows_retried": retried,
         "windows_budget_skipped": budget_skipped,
+        # micro-query phase noise evidence (pre-phase external loadavg,
+        # in-phase mean/peak, retry attempts with raw per-query times)
+        "query_phase": query_phase_log,
     }
 
     if scaling_on:
