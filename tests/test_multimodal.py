@@ -41,8 +41,61 @@ def test_frame_sampling(spark):
 def test_real_decode_is_stubbed():
     from tripwire_spark.operators.multimodal import _decode_image_real
 
+    # JPEG stays a declared container limitation (PNG decodes for real
+    # since round 4); a bare truncated PNG magic also refuses cleanly
+    with pytest.raises(NotImplementedError):
+        _decode_image_real(b"\xff\xd8\xff\xe0JFIF")
     with pytest.raises(NotImplementedError):
         _decode_image_real(b"\x89PNG")
+
+
+def test_png_roundtrip_all_filters():
+    """encode(filter f) -> decode is byte-exact for every RFC 2083
+    scanline filter, RGB + RGBA + grayscale, odd sizes included."""
+    import numpy as np
+
+    from tripwire_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(7)
+    for ch in (1, 3, 4):
+        for h, w in ((1, 1), (5, 7), (16, 3)):
+            arr = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+            for f in range(5):
+                got = decode_png(encode_png(arr, filter_type=f))
+                assert got.shape == (h, w, ch), (ch, h, w, f)
+                assert np.array_equal(got, arr), (ch, h, w, f)
+
+
+def test_png_decode_image_real_channels():
+    """_decode_image_real normalizes PNG to HxWx3: RGBA drops alpha,
+    grayscale replicates; unsupported PNG variants raise."""
+    import numpy as np
+
+    from tripwire_spark.operators.multimodal import _decode_image_real, encode_png
+
+    rgb = (np.arange(4 * 6 * 3).reshape(4, 6, 3) % 256).astype(np.uint8)
+    assert np.array_equal(_decode_image_real(encode_png(rgb)), rgb)
+    rgba = np.concatenate([rgb, np.full((4, 6, 1), 9, np.uint8)], axis=2)
+    assert np.array_equal(_decode_image_real(encode_png(rgba)), rgb)
+    gray = rgb[:, :, :1]
+    assert np.array_equal(_decode_image_real(encode_png(gray)), np.repeat(gray, 3, axis=2))
+
+
+def test_png_corrupt_and_unsupported_refuse_cleanly():
+    import numpy as np
+    import pytest as _pt
+
+    from tripwire_spark.operators.multimodal import decode_png, encode_png
+
+    arr = (np.arange(3 * 4 * 3).reshape(3, 4, 3) % 256).astype(np.uint8)
+    blob = encode_png(arr)
+    with _pt.raises(ValueError):
+        decode_png(blob[:40])  # truncated: magic ok, pixel data gone
+    # interlaced flag flipped in IHDR -> declared unsupported
+    bad = bytearray(blob)
+    bad[8 + 8 + 12] = 1  # IHDR interlace byte (len+tag+13-byte payload)
+    with _pt.raises((NotImplementedError, ValueError)):
+        decode_png(bytes(bad))
 
 
 def test_bmp_and_wav_roundtrip():
@@ -77,9 +130,11 @@ def test_extract_media_stats_real_decode(spark):
     stats = {r.media_id: r for r in extract_media_stats(m).collect()}
     meta = {r.media_id: r for r in m.collect()}
     assert len(stats) == 12
+    fmts = {r.fmt for r in stats.values() if r.kind == "image"}
+    assert fmts == {"bmp", "png"}  # both real image codecs exercised
     for i, r in stats.items():
         if r.kind == "image":
-            assert r.fmt == "bmp"
+            assert r.fmt == ("png" if i % 4 == 2 else "bmp")
             assert (r.width, r.height) == (meta[i].width, meta[i].height)
             assert 0.0 < r.mean_lum < 1.0 and r.rms is None
         else:

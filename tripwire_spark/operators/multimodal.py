@@ -4,13 +4,15 @@ typed metadata, processed via Arrow-batched ``mapInPandas``.
 The Spark-side plumbing here is REAL and tested: schemas, partitioning,
 UDF signatures, batch shapes, and the deterministic fake feature
 extractor.  Decode is REAL for the container-decodable formats —
-24-bit uncompressed BMP (struct + numpy) and 16-bit PCM WAV (stdlib
-``wave``) round-trip byte-exactly, and ``extract_media_stats`` /
-``resize_thumbnails`` run real pixel/sample math over them.
-Compressed codecs (PNG/JPEG/MP3/H.264) need Pillow/librosa/ffmpeg,
-which are NOT in this container, so ``_decode_image_real`` raises
-``NotImplementedError`` for those magics — swap that one branch when
-the libs exist; nothing else changes.
+24-bit uncompressed BMP (struct + numpy), 8-bit non-interlaced PNG
+(stdlib ``zlib`` + numpy unfiltering, all five RFC 2083 scanline
+filters), and 16-bit PCM WAV (stdlib ``wave``) round-trip byte-exactly,
+and ``extract_media_stats`` / ``resize_thumbnails`` /
+``perceptual_hash`` run real pixel/sample math over them.  The
+remaining compressed codecs (JPEG/MP3/H.264) need Pillow/librosa/
+ffmpeg, which are NOT in this container, so ``_decode_image_real``
+raises ``NotImplementedError`` for those magics — swap that one branch
+when the libs exist; nothing else changes.
 
 Pattern notes for 100 TB media tables:
 - media stays in its own table keyed by content hash; pipelines join
@@ -98,6 +100,141 @@ def decode_bmp(content: bytes) -> np.ndarray:
     return rows[:, :, ::-1].copy()  # BGR -> RGB
 
 
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """HxWxC uint8 (C=1 gray, 3 RGB, 4 RGBA) -> 8-bit non-interlaced
+    PNG bytes (stdlib ``zlib``; public RFC 2083 wire format).
+
+    ``filter_type`` applies the same scanline filter (0..4) to every
+    row — a real encoder picks per-row, but emitting each filter on
+    demand lets the decode tests pin every unfilter branch."""
+    import zlib
+
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    ctype = {1: 0, 3: 2, 4: 6}[ch]
+    a = arr.astype(np.int64)
+    raw = bytearray()
+    prev = np.zeros((w, ch), dtype=np.int64)
+    for r in range(h):
+        cur = a[r]
+        left = np.vstack([np.zeros((1, ch), dtype=np.int64), cur[:-1]])
+        upleft = np.vstack([np.zeros((1, ch), dtype=np.int64), prev[:-1]])
+        if filter_type == 0:
+            line = cur
+        elif filter_type == 1:  # Sub
+            line = cur - left
+        elif filter_type == 2:  # Up
+            line = cur - prev
+        elif filter_type == 3:  # Average
+            line = cur - ((left + prev) >> 1)
+        elif filter_type == 4:  # Paeth
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            line = cur - pred
+        else:
+            raise ValueError(f"bad filter {filter_type}")
+        raw.append(filter_type)
+        raw += (line & 0xFF).astype(np.uint8).tobytes()
+        prev = cur
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 9))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(content: bytes) -> np.ndarray:
+    """8-bit non-interlaced gray/RGB/RGBA PNG bytes -> HxWxC uint8.
+
+    Pure stdlib ``zlib`` inflate + numpy per-scanline unfiltering (all
+    five RFC 2083 filters; Sub is a grouped cumsum, Up a vector add,
+    Average/Paeth walk pixels with vectorized channels).  Palette,
+    16-bit, and interlaced variants raise ``NotImplementedError`` —
+    same opaque-fallback posture as every other codec gap here."""
+    import zlib
+
+    if content[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos, idat, ihdr = 8, bytearray(), None
+    while pos + 8 <= len(content):
+        (ln,) = struct.unpack_from(">I", content, pos)
+        tag = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("missing IHDR")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if depth != 8 or ctype not in (0, 2, 6) or comp or filt or interlace:
+        raise NotImplementedError(
+            f"PNG depth={depth} color={ctype} interlace={interlace} unsupported"
+        )
+    ch = {0: 1, 2: 3, 6: 4}[ctype]
+    stride = w * ch
+    try:
+        data = zlib.decompress(bytes(idat))
+    except zlib.error as e:  # truncated/corrupt stream -> uniform refusal
+        raise ValueError(f"corrupt PNG stream: {e}") from None
+    if len(data) < h * (1 + stride):
+        raise ValueError("truncated PNG pixel data")
+    lines = np.frombuffer(data, np.uint8, count=h * (1 + stride)).reshape(h, 1 + stride)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for r in range(h):
+        ft = int(lines[r, 0])
+        line = lines[r, 1:].astype(np.int64)
+        if ft == 0:
+            rec = line
+        elif ft == 1:  # Sub: recon[x] = line[x] + recon[x-ch] == per-channel cumsum
+            rec = np.cumsum(line.reshape(w, ch), axis=0).reshape(stride)
+        elif ft == 2:  # Up
+            rec = line + prev
+        elif ft in (3, 4):  # Average / Paeth: left-neighbor dependent
+            rec = np.zeros(stride, dtype=np.int64)
+            lv = line.reshape(w, ch)
+            pv = prev.reshape(w, ch)
+            rv = rec.reshape(w, ch)
+            a = np.zeros(ch, dtype=np.int64)  # reconstructed left pixel
+            for x in range(w):
+                b = pv[x]
+                if ft == 3:
+                    rv[x] = (lv[x] + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = pv[x - 1] if x else np.zeros(ch, dtype=np.int64)
+                    p = a + b - c
+                    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                    pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+                    rv[x] = (lv[x] + pred) & 0xFF
+                a = rv[x]
+        else:
+            raise ValueError(f"bad PNG filter {ft}")
+        rec &= 0xFF
+        out[r] = rec.astype(np.uint8)
+        prev = rec
+    return out.reshape(h, w, ch)
+
+
 def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
     """int16 mono samples -> PCM WAV bytes (stdlib wave)."""
     import io
@@ -127,12 +264,18 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
 
 
 def _decode_image_real(content: bytes) -> np.ndarray:
-    """Decode an image blob to HxWx3 RGB.  BMP decodes here (pure
-    struct+numpy); compressed codecs (PNG/JPEG/...) need Pillow, which
-    is not in this container — those magics raise, and a deployment
-    with the libs swaps in the real call in this one branch."""
+    """Decode an image blob to HxWx3 RGB.  BMP (pure struct+numpy) and
+    8-bit non-interlaced PNG (stdlib zlib + numpy unfiltering) decode
+    here; remaining compressed codecs (JPEG/...) need Pillow, which is
+    not in this container — those magics raise, and a deployment with
+    the libs swaps in the real call in this one branch."""
     if content[:2] == b"BM":
         return decode_bmp(content)
+    if content[:8] == PNG_MAGIC:
+        arr = decode_png(content)
+        if arr.shape[2] == 1:  # gray -> RGB
+            return np.repeat(arr, 3, axis=2)
+        return arr[:, :, :3].copy() if arr.shape[2] == 4 else arr  # drop alpha
     raise NotImplementedError("compressed image codec not available in this container")
 
 
@@ -143,11 +286,13 @@ MEDIA_STATS_SCHEMA = (
 
 
 def synth_media_real(spark: SparkSession, n: int = 24) -> DataFrame:
-    """Deterministic REAL media blobs: even ids carry 24-bit BMP
-    gradient images, odd ids carry 16-bit PCM WAV integer ramps — both
-    decodable by this module's own pure-numpy/stdlib codecs.  A
-    driver-side fixture builder (like ``warc.write_warc``): fixtures
-    are small; production media arrives in its own table."""
+    """Deterministic REAL media blobs: even ids carry gradient images —
+    alternating 24-bit BMP (i%4==0) and 8-bit PNG (i%4==2, RGBA every
+    other one, scanline filter cycling 0..4) — odd ids carry 16-bit PCM
+    WAV integer ramps; all decodable by this module's own pure-
+    numpy/stdlib codecs.  A driver-side fixture builder (like
+    ``warc.write_warc``): fixtures are small; production media arrives
+    in its own table."""
     rows = []
     for i in range(n):
         if i % 2 == 0:
@@ -161,7 +306,16 @@ def synth_media_real(spark: SparkSession, n: int = 24) -> DataFrame:
                 ],
                 axis=-1,
             ).astype(np.uint8)
-            rows.append((i, "image", bytearray(encode_bmp(arr)), w, h, None, None))
+            if i % 4 == 2:
+                if i % 8 == 6:  # RGBA variant (alpha ramp; decode drops it)
+                    alpha = ((xx * 11 + i) % 256).astype(np.uint8)[:, :, None]
+                    arr4 = np.concatenate([arr, alpha], axis=2)
+                    blob = encode_png(arr4, filter_type=(i // 2) % 5)
+                else:
+                    blob = encode_png(arr, filter_type=(i // 2) % 5)
+            else:
+                blob = encode_bmp(arr)
+            rows.append((i, "image", bytearray(blob), w, h, None, None))
         else:
             ns = 1600 + 10 * i
             t = np.arange(ns)
@@ -192,6 +346,10 @@ def extract_media_stats(media: DataFrame) -> DataFrame:
                     if cb[:2] == b"BM":
                         arr = decode_bmp(cb)
                         fmt, h, w = "bmp", arr.shape[0], arr.shape[1]
+                        lum = round(float(arr.mean()) / 255.0, 6)
+                    elif cb[:8] == PNG_MAGIC:
+                        arr = _decode_image_real(cb)  # RGB view (alpha dropped)
+                        fmt, h, w = "png", arr.shape[0], arr.shape[1]
                         lum = round(float(arr.mean()) / 255.0, 6)
                     elif cb[:4] == b"RIFF":
                         s, sr = decode_wav(cb)
@@ -256,15 +414,17 @@ def resize_thumbnails(media: DataFrame, max_side: int = 16) -> DataFrame:
             thumbs = []
             for c, tw_i, th_i in zip(pdf["content"], tw, th):
                 cb = bytes(c) if c is not None else b""
-                if cb[:2] == b"BM":
+                if cb[:2] == b"BM" or cb[:8] == PNG_MAGIC:
                     try:
-                        arr = decode_bmp(cb)
+                        # thumbs normalize to one container (BMP) so
+                        # downstream consumers decode uniformly
+                        arr = _decode_image_real(cb)
                         ridx = (np.arange(th_i) * arr.shape[0] / th_i).astype(np.int64)
                         cidx = (np.arange(tw_i) * arr.shape[1] / tw_i).astype(np.int64)
                         thumbs.append(encode_bmp(arr[ridx][:, cidx]))
                         continue
                     except (NotImplementedError, ValueError, struct.error, IndexError):
-                        pass  # corrupt BM blob -> deterministic fake thumb below
+                        pass  # corrupt blob -> deterministic fake thumb below
                 thumbs.append((_fake_feature(cb, 4) * 255).astype(np.uint8).tobytes())
             yield pd.DataFrame(
                 {
@@ -313,19 +473,21 @@ def _ahash_bits(arr: np.ndarray, side: int = 8) -> int:
     return _pack_bits((means > means.mean()).flatten())
 
 
-def _fingerprint_runner(magic: bytes, hash_one):
+def _fingerprint_runner(magics, hash_one):
     """Shared mapInPandas body for the media fingerprints: keep rows
-    whose content starts with ``magic`` AND decodes, hash via
+    whose content starts with one of ``magics`` AND decodes, hash via
     ``hash_one(content_bytes) -> int`` (returns None to drop), emit
     (media_id, ahash).  A corrupt or unsupported blob is DROPPED, never
     fatal: at 100 TB one truncated file must not kill the job."""
+    if isinstance(magics, bytes):
+        magics = (magics,)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, hashes = [], []
             for mid, c in zip(pdf["media_id"], pdf["content"]):
                 cb = bytes(c) if c is not None else b""
-                if cb[: len(magic)] != magic:
+                if not any(cb[: len(m)] == m for m in magics):
                     continue
                 hv = hash_one(cb)
                 if hv is None:
@@ -351,12 +513,12 @@ def perceptual_hash(media: DataFrame, side: int = 8) -> DataFrame:
 
     def hash_one(cb: bytes) -> int | None:
         try:
-            return _ahash_bits(decode_bmp(cb), side)
+            return _ahash_bits(_decode_image_real(cb), side)
         except (NotImplementedError, ValueError, struct.error, IndexError):
             return None
 
     return media.filter(F.col("kind") == "image").mapInPandas(
-        _fingerprint_runner(b"BM", hash_one), schema=PHASH_SCHEMA
+        _fingerprint_runner((b"BM", PNG_MAGIC), hash_one), schema=PHASH_SCHEMA
     )
 
 
