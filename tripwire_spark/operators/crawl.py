@@ -359,6 +359,7 @@ def run_crawl(
     seen_mode: str = "scan",
     fetch_join: str = "broadcast",
     fetch_join_threshold: int = 100_000_000,
+    seen_preload: DataFrame | None = None,
 ) -> CrawlState:
     """The full crawl loop; one snapshot commit per round when
     ``checkpoint_dir`` is given; ``resume=True`` continues from the
@@ -459,7 +460,15 @@ def run_crawl(
         if resume and tables and tables["seen_sketch"].latest_id():
             seen_state_df = tables["seen_sketch"].read().persist()
         else:
-            seen_state_df = seen_svc.init(state.frontier.select("url_hash"), "url_hash").persist()
+            # seen_preload: prior-corpus url hashes imported into the
+            # initial seen set (history import on a fresh checkpoint,
+            # and the knob behind the 10x-history scale experiment —
+            # preloaded hashes grow STATE SIZE without touching crawl
+            # results, isolating the admit read side's cost curve).
+            init_src = state.frontier.select("url_hash")
+            if seen_preload is not None:
+                init_src = init_src.unionByName(seen_preload.select("url_hash"))
+            seen_state_df = seen_svc.init(init_src, "url_hash").persist()
             if tables:
                 # Seed segments committed once; every round then APPENDS
                 # its O(new) delta segments on top (resume reads the
