@@ -180,9 +180,11 @@ def test_crawl_fetch_join_strategies_identical(spark, fixture_tables):
         st.release()
         return out
 
-    base = rows()
+    base = rows()  # seen_mode='auto' resolves to cogroup at this scale
     assert rows(fetch_join="shuffle_hash") == base
     assert rows(seen_mode="cogroup") == base
+    assert rows(seen_mode="scan") == base
+    assert rows(seen_mode="auto", seen_mode_threshold=1) == base  # forces scan
     assert rows(fetch_join="auto", fetch_join_threshold=1) == base  # forces shuffle_hash
     assert rows(fetch_join="auto") == base  # stays broadcast at this scale
 

@@ -356,7 +356,8 @@ def run_crawl(
     identities: DataFrame | None = None,
     compact_every: int = 8,
     trap_limit: int | None = None,
-    seen_mode: str = "scan",
+    seen_mode: str = "auto",
+    seen_mode_threshold: int = 50_000_000,
     fetch_join: str = "broadcast",
     fetch_join_threshold: int = 100_000_000,
     seen_preload: DataFrame | None = None,
@@ -459,6 +460,11 @@ def run_crawl(
         seen_svc = SeenState(n_buckets=bloom_buckets)
         if resume and tables and tables["seen_sketch"].latest_id():
             seen_state_df = tables["seen_sketch"].read().persist()
+            if seen_mode == "auto":
+                # metadata-only column scan (blobs pruned): the restored
+                # history's row count picks the admit read strategy
+                est = seen_state_df.agg(F.sum("n_items")).first()[0] or 0
+                seen_mode = "scan" if est > seen_mode_threshold else "cogroup"
         else:
             # seen_preload: prior-corpus url hashes imported into the
             # initial seen set (history import on a fresh checkpoint,
@@ -466,6 +472,19 @@ def run_crawl(
             # preloaded hashes grow STATE SIZE without touching crawl
             # results, isolating the admit read side's cost curve).
             init_src = state.frontier.select("url_hash")
+            if seen_mode == "auto":
+                # Resolve ONCE per crawl from the initial state size
+                # (seeded frontier + imported history): under the
+                # threshold the cogroup's one wide exchange beats scan
+                # mode's extra stage constant; past it the state bytes
+                # dominate and the scan side's flat cost wins (crossover
+                # measured in BENCH_local_r04_seen_ab.json: cogroup wall
+                # ~0.9 s + 1.25 ms/MB of state vs scan flat ~1.5 s).
+                # Both modes are result-identical (pytest-parametrized).
+                est = state.frontier.count()
+                if seen_preload is not None:
+                    est += seen_preload.count()
+                seen_mode = "scan" if est > seen_mode_threshold else "cogroup"
             if seen_preload is not None:
                 init_src = init_src.unionByName(seen_preload.select("url_hash"))
             seen_state_df = seen_svc.init(init_src, "url_hash").persist()

@@ -333,9 +333,11 @@ class SeenState:
         is ONLY SCANNED, never shuffled.  The candidates' per-bucket
         sorted hash arrays are broadcast onto the state scan; each
         segment probes the (tiny) array against its own sorted hashes
-        in place and emits just the HIT hashes (≤ O(new) rows).  Fresh
-        candidates are then the broadcast anti-join against those hits,
-        and the delta-segment build shuffles candidate rows only.  At
+        in place and emits just the HIT hashes (≤ O(new) rows), which
+        ride into the delta-build shuffle as tagged rows — the
+        membership filter, in-batch dedup, and segment build all happen
+        in the one applyInPandas pass, so scan mode costs ONE broadcast
+        (the probe arrays) plus TWO O(new) exchanges per round.  At
         steady state every bucket is touched every round, so the old
         cogroup shipped the ENTIRE state (~80 GB of hash arrays at
         10^10 urls) through its exchange per round even though only
@@ -502,12 +504,26 @@ class SeenState:
                 )
 
         seen_h = probed.mapInPandas(probe, schema="h long")
-        # Fresh = candidates whose hash no segment contained.  The hits
-        # are ≤ O(new) rows, so they broadcast; anti-join keys may repeat
-        # across segments — left_anti is dup-insensitive, no distinct.
-        fresh_cand = cand.join(
-            F.broadcast(seen_h), cand[hash_col] == F.col("h"), "left_anti"
+        # The hit hashes (≤ O(new) rows) ride INTO the delta-build
+        # shuffle as null-padded tagged rows of the candidate shape —
+        # one unionByName, no broadcast barrier and no extra join: the
+        # membership filter happens inside the same applyInPandas pass
+        # that dedups and builds the delta segment.  (A broadcast
+        # anti-join here measured +14 s on the per-run serial constant
+        # of the sf0.1 scaling pair — each broadcast build is a driver
+        # barrier the 1-slot side pays in full.)
+        null_cols = [
+            F.lit(None).cast(f.dataType).alias(f.name)
+            for f in candidates.schema.fields
+            if f.name != hash_col
+        ]
+        hit_rows = seen_h.select(
+            F.col("h").alias(hash_col),
+            *null_cols,
+            self.bucket_col(F.col("h")).alias("__bucket"),
+            F.lit(1).alias("__hit"),
         )
+        tagged = cand.withColumn("__hit", F.lit(0)).unionByName(hit_rows)
         # Delta metadata (segment id + bloom geometry).  With an
         # explicit next_seg (crawl loops pass the round number) the
         # geometry is taken from this service — the same instance that
@@ -517,7 +533,7 @@ class SeenState:
         # column-pruned state aggregate (no blob columns read).
         if next_seg is not None:
             fresh_ext = (
-                fresh_cand.withColumn("__nseg", F.lit(int(next_seg)).cast("int"))
+                tagged.withColumn("__nseg", F.lit(int(next_seg)).cast("int"))
                 .withColumn("__m", F.lit(m_d).cast("long"))
                 .withColumn("__k", F.lit(k_d).cast("int"))
             )
@@ -527,14 +543,23 @@ class SeenState:
                 F.coalesce(F.first("m_bits"), F.lit(m_d)).alias("__m"),
                 F.coalesce(F.first("k"), F.lit(k_d)).alias("__k"),
             )
-            fresh_ext = fresh_cand.crossJoin(F.broadcast(meta))
+            fresh_ext = tagged.crossJoin(F.broadcast(meta))
 
         def build(key, pdf: pd.DataFrame):
             bucket = int(key[0])
             nseg = int(pdf["__nseg"].iloc[0])
             m = int(pdf["__m"].iloc[0])
             kk = int(pdf["__k"].iloc[0])
-            pdf = pdf.drop(columns=["__bucket", "__nseg", "__m", "__k"])
+            hits = np.unique(
+                pdf.loc[pdf["__hit"] == 1, hash_col].to_numpy(dtype=np.int64)
+            )
+            pdf = pdf[pdf["__hit"] == 0].drop(
+                columns=["__bucket", "__nseg", "__m", "__k", "__hit"]
+            )
+            if len(hits) and len(pdf):
+                hs = pdf[hash_col].to_numpy(dtype=np.int64)
+                idx = np.clip(np.searchsorted(hits, hs), 0, len(hits) - 1)
+                pdf = pdf[hits[idx] != hs]
             if order_cols:
                 pdf = pdf.sort_values([hash_col, *order_cols], kind="mergesort")
             pdf = pdf.drop_duplicates(subset=[hash_col], keep="first")
