@@ -331,7 +331,11 @@ def main() -> None:
     qs = entrymod.queries()
     times: dict[str, float] = {}
     query_phase_log: list[dict] = []
-    for attempt in range(2):
+    # Always two attempts (min per query): a single 'clean' window still
+    # carries ~30% residual weather (r04 observed 4.56 s vs 3.43 s for
+    # tpch_q1 across same-code clean windows); a third attempt only if
+    # both were dirty.
+    for attempt in range(3):
         wait_q = _wait_quiet()
         pre = os.getloadavg()[0]
         spark = get_spark(f"bench-queries-{attempt}", cores=cores, shuffle_partitions=cores)
@@ -350,7 +354,7 @@ def main() -> None:
         )
         for k, v in t_at.items():
             times[k] = min(times.get(k, v), v)
-        if clean:
+        if attempt >= 1 and any(r["clean"] for r in query_phase_log):
             break
 
     # Frontier crawl throughput (sf0.1 -> 60k hosts, 600k ~13 KB pages).
