@@ -114,7 +114,26 @@ def main() -> int:
     print(f"\n{ran - len(failed)}/{ran} ok")
     if json_path:
         import json
+        import subprocess
+        import time as _time
 
+        # provenance: a refreshed artifact can be byte-identical to the
+        # previous round's (all-green both times), which hides WHEN it
+        # was generated — stamp the commit + time so "evidence is at
+        # HEAD" is checkable from the file itself
+        try:
+            commit = subprocess.run(
+                ["git", "rev-parse", "HEAD"], capture_output=True, text=True,
+                cwd="/root/repo", timeout=10,
+            ).stdout.strip()
+        except Exception:  # noqa: BLE001
+            commit = None
+        report["_meta"] = {
+            "generated_at": _time.strftime("%Y-%m-%dT%H:%M:%SZ", _time.gmtime()),
+            "git_head": commit,
+            "sf_dir": sf,
+            "queries_run": ran,
+        }
         with open(json_path, "w") as fh:
             json.dump(report, fh, indent=2)
         print(f"wrote {json_path} ({len(report)} rows)")
