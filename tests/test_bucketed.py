@@ -48,3 +48,44 @@ def test_mismatched_bucket_counts_still_correct(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bk_l2")
         spark.sql("DROP TABLE IF EXISTS bk_r2")
+
+
+def test_bucketed_pages_fetch_join_pages_side_no_exchange(spark, tmp_path):
+    """Round-4: fetch_extract over a pages table stored bucketed on a
+    MATERIALIZED url_hash column + fetch_join='shuffle_hash' — the
+    10^8-claimed-rows regime's plan.  The pages (fact) side must read
+    pre-partitioned: the only Exchange in the plan is the claimed-keys
+    side; no Exchange may output the html column."""
+    from tripwire_spark.operators.crawl import fetch_extract
+    from tripwire_spark.operators.frontier import build_frontier
+    from tripwire_spark.sources.bucketed import write_bucketed
+    from tripwire_spark.sources.synth import BLACKLIST_PATTERNS, synth_pages
+
+    pages = synth_pages(spark, n_hosts=40, n_pages=3, n_links=3).withColumn(
+        "url_hash", F.xxhash64("url")
+    )
+    write_bucketed(pages, "bk_pages", str(tmp_path / "pages"), "url_hash", buckets=8)
+    try:
+        seeds = spark.range(40).select(
+            (F.col("id") + 1).cast("int").alias("alexa"),
+            F.format_string("site%04d.test/p1", F.col("id")).alias("url"),
+            F.col("id").alias("file_order"),
+        )
+        claimed = build_frontier(seeds, BLACKLIST_PATTERNS)
+        out = fetch_extract(claimed, spark.table("bk_pages"), join="shuffle_hash")
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted"
+        )
+        assert "ShuffledHashJoin" in plan
+        # parse Exchange detail blocks: none may carry the html bytes
+        cur, offending = None, []
+        for line in plan.splitlines():
+            if line.startswith("(") and ")" in line:
+                name = line.split(")", 1)[1].strip()
+                cur = name if name.startswith("Exchange") else None
+            elif cur and line.strip().startswith("Input") and "html" in line:
+                offending.append(line)
+        assert not offending, offending
+        assert out.count() > 0  # and the join actually matches
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bk_pages")

@@ -107,9 +107,14 @@ def fetch_extract(claimed: DataFrame, pages: DataFrame, join: str = "broadcast")
     touched exactly once per round.
     """
     keys = claimed.select("url_hash", "qid", "round_added", "try")
-    pg = pages.select(
-        F.xxhash64(F.col("url")).alias("p_hash"), "url", "warc_ts", "html", "lang"
+    # A pages table carrying a materialized url_hash column (the
+    # bucketed layout sources/bucketed.py writes) joins on the STORED
+    # column — required for bucket pruning/co-location, since a
+    # computed xxhash64(url) expression can never match a bucket spec.
+    p_hash = (
+        F.col("url_hash") if "url_hash" in pages.columns else F.xxhash64(F.col("url"))
     )
+    pg = pages.select(p_hash.alias("p_hash"), "url", "warc_ts", "html", "lang")
     if join not in ("broadcast", "shuffle_hash"):
         raise ValueError(f"join must be 'broadcast' or 'shuffle_hash', got {join!r}")
     keys = keys.hint(join)
