@@ -293,3 +293,87 @@ def test_seen_state_scan_mode_state_bytes_never_shuffled(spark):
     assert sorted((r.bucket, r.n_items) for r in delta_s.collect()) == sorted(
         (r.bucket, r.n_items) for r in delta_c.collect()
     )
+
+
+def test_seen_admit_bucketed_base_with_delta_side(spark, tmp_path):
+    """VERDICT r4 ask #2 (the huge-state ∧ huge-delta corner): with the
+    state persisted BUCKETED on ``bucket`` (snapshot tables with
+    ``bucket_key='bucket'``) and the post-compaction delta segments
+    passed via ``delta_side``, cogroup admit must (a) return exactly the
+    plain-union answer, and (b) keep the BASE state's bytes out of every
+    Exchange — only candidates + the small deltas ride the shuffle."""
+    from tripwire_spark.operators.seen import SeenState
+    from tripwire_spark.sources.snapshots import SnapshotTable
+
+    svc = SeenState(n_buckets=8)
+    base_mem = svc.init(_urls(spark, 0, 3000), "url_hash")
+    tbl = SnapshotTable(
+        spark, str(tmp_path), "seen_sketch", bucket_key="bucket", bucket_count=8
+    )
+    tbl.commit(base_mem, {"round": 0})
+    base = tbl.read_base()
+    # one delta segment batch on top of the base (urls 3000..3999)
+    d_out = svc.admit(
+        _urls(spark, 3000, 1000), base, hash_col="url_hash", mode="cogroup",
+        next_seg=1,
+    ).persist()
+    _, delta = SeenState.split(d_out, ["url", "url_hash"])
+    tbl.commit_append(delta, {"round": 1})
+    base, deltas = tbl.read_base(), tbl.read_deltas()
+    assert deltas is not None
+
+    cands = _urls(spark, 2500, 2500)  # overlaps base AND delta AND fresh
+    out = svc.admit(
+        cands, base, hash_col="url_hash", mode="cogroup", next_seg=2,
+        delta_side=deltas,
+    ).persist()
+    fresh, delta2 = SeenState.split(out, ["url", "url_hash"])
+    # (a) answer == the plain cogroup over the unioned state
+    ref_out = svc.admit(
+        cands, SeenState.advance(base, deltas), hash_col="url_hash",
+        mode="cogroup", next_seg=2,
+    ).persist()
+    ref_fresh, ref_delta = SeenState.split(ref_out, ["url", "url_hash"])
+    assert sorted(r.url for r in fresh.collect()) == sorted(
+        r.url for r in ref_fresh.collect()
+    )
+    assert sorted((r.bucket, r.n_items) for r in delta2.collect()) == sorted(
+        (r.bucket, r.n_items) for r in ref_delta.collect()
+    )
+    # and both equal first-principles: fresh = ids 4000..4999
+    assert fresh.count() == 1000
+    # (b) plan: the state IS read bucketed, and any Exchange carrying
+    # segment blobs is the tagged candidate-side union (__seg_tag rides
+    # along) — a state-side exchange would carry hashes WITHOUT the tag
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "Bucketed: true" in plan
+    blocks, cur = {}, None
+    for line in plan.splitlines():
+        if line.startswith("(") and ")" in line:
+            name = line.split(")", 1)[1].strip()
+            cur = line if name.startswith("Exchange") else None
+        elif cur and line.strip().startswith("Input"):
+            blocks[cur] = line
+    for node, inputs in blocks.items():
+        if "hashes" in inputs:
+            assert "__seg_tag" in inputs, (
+                f"state blobs in a non-delta exchange: {node} {inputs}"
+            )
+
+
+def test_seen_compact_rejects_mixed_geometry(spark):
+    """ADVICE r4 #2: segments written under different bloom geometry
+    must fail compaction with a clear error, not a numpy shape error."""
+    from tripwire_spark.operators.seen import SeenState
+
+    a = SeenState(n_buckets=4, capacity=1_000_000)
+    b = SeenState(n_buckets=4, capacity=4_000_000)  # different m_bits
+    sa = a.init(_urls(spark, 0, 500), "url_hash")
+    sb = b.init(_urls(spark, 500, 500), "url_hash").withColumn(
+        "seg", F.lit(1)
+    )
+    mixed = SeenState.advance(sa, sb)
+    with pytest.raises(Exception, match="mixed bloom geometry"):
+        a.compact(mixed).collect()

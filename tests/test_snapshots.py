@@ -130,3 +130,63 @@ def test_iceberg_probe_and_factory(spark, tmp_path):
     assert t.read().count() == 15
     assert t.read(1).count() == 10
     assert t.lineage().groupBy().sum("rows").collect()[0][0] == 15
+
+
+def test_bucketed_commit_read_base_and_deltas(spark, tmp_path):
+    """Bucketed snapshot layout (VERDICT r4 ask #2): full commits write
+    a bucketBy table whose scan is hash-clustered on the key; appends
+    stay plain deltas; read_base/read_deltas expose the split; and a
+    catalog that has never seen the table (fresh session on resume)
+    re-registers it from the recorded DDL."""
+    from tripwire_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path), "seen_sketch", bucket_key="bucket", bucket_count=4)
+    df = spark.range(100).selectExpr("cast(id % 4 as int) as bucket", "id as v")
+    t.commit(df, {"round": 0})
+    base = t.read_base()
+    assert base.count() == 100
+    assert t.read_deltas() is None
+
+    # the observable contract: clustering on the key needs NO exchange
+    # (a bare scan legitimately drops the bucket layout — Spark's
+    # autoBucketedScan — so assert on a query that exercises it)
+    def bucketed_no_exchange(df):
+        agg = df.groupBy("bucket").count()
+        plan = agg._sc._jvm.PythonSQLUtils.explainString(
+            agg._jdf.queryExecution(), "formatted"
+        )
+        assert "Bucketed: true" in plan
+        assert "Exchange" not in plan
+
+    bucketed_no_exchange(base)
+    # appends: plain parquet deltas, split out by read_deltas
+    delta = spark.range(100, 120).selectExpr("cast(id % 4 as int) as bucket", "id as v")
+    t.commit_append(delta, {"round": 1})
+    assert t.read().count() == 120
+    assert t.read_base().count() == 100
+    assert t.read_deltas().count() == 20
+    # fresh-session resume: drop the catalog entry, read must re-register
+    tbl_name = t.snapshots()[0]["bucket"]["table"]
+    spark.sql(f"DROP TABLE IF EXISTS {tbl_name}")
+    assert not spark.catalog.tableExists(tbl_name)
+    again = SnapshotTable(spark, str(tmp_path), "seen_sketch", bucket_key="bucket", bucket_count=4)
+    rb = again.read_base()
+    assert rb.count() == 100
+    bucketed_no_exchange(rb)  # re-registered WITH the bucket spec
+    # a second full commit becomes the new base; deltas reset
+    t.commit(t.read(), {"round": 2, "stage": "compacted"})
+    assert t.read_base().count() == 120
+    assert t.read_deltas() is None
+
+
+def test_bucketed_rollback_drops_registration(spark, tmp_path):
+    from tripwire_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path), "st", bucket_key="bucket", bucket_count=2)
+    df = spark.range(10).selectExpr("cast(id % 2 as int) as bucket", "id as v")
+    sid1 = t.commit(df, {})
+    t.commit(df.limit(5), {})
+    tbl2 = t.snapshots()[-1]["bucket"]["table"]
+    t.rollback(sid1)
+    assert not spark.catalog.tableExists(tbl2)
+    assert t.read().count() == 10

