@@ -447,14 +447,16 @@ def main() -> None:
     slots_small = max(1, min(2, cores // 32))
     slots_large = 4 * slots_small
     side_slots = {"head": slots_head, "small": slots_small, "large": slots_large}
-    # Per-side reps-per-window, sized by each side's MEASURED noise
-    # profile: the 1-slot side is pure sequential compute and repeats
-    # within 0.1% (recorded 316.45 vs 316.84 s), so one rep per window
-    # suffices and keeps its ~11 min windows from dominating the bench;
-    # the 4- and 8-slot sides swing 90-140 s under identical loadavg
-    # (scheduler/contention weather), so they get 2 reps per window —
-    # more samples where the min statistic actually needs them.
-    side_reps = {"head": 2, "small": 1, "large": 2}
+    # Per-side reps-per-window.  The 1-slot side USED to run one rep per
+    # window on the strength of a 0.1% repeat (316.45 vs 316.84 s), but
+    # r4's driver artifact measured 336 vs 377 s across its two 1-slot
+    # windows (spread 0.122) — and that side's best-of is the number the
+    # scaling ratio DIVIDES BY, so it now gets 2 reps per window like
+    # the others (r4 VERDICT asks #1b/#7: the noisiest side was getting
+    # the least averaging).  The head side's FIRST window gets a third
+    # rep: its rep 1 eats residual JIT/page-cache warmup (recorded
+    # 143.8 s vs 66-73 s siblings) and two post-warmup reps beat one.
+    side_reps = {"head": 2, "small": 2, "large": 2}
     if scaling_on:
         # Window order: each 4-slot window follows a 1-slot one (the
         # box's quietest moments are right after the low-load side), and
@@ -491,8 +493,10 @@ def main() -> None:
             extra_conf=crawl_conf,
         )
         nh, pd_dir = (n_hosts, pages_dir) if side == "head" else (scale_hosts, pages_scale_dir)
+        # first head window: +1 rep (the JIT/warmup casualty, see side_reps)
+        reps = side_reps[side] + (1 if side == "head" and not obs["head"] else 0)
         with _LoadSampler() as ls:
-            r = crawl_bench(sp, n_hosts=nh, reps=side_reps[side], pages_path=pd_dir)
+            r = crawl_bench(sp, n_hosts=nh, reps=reps, pages_path=pd_dir)
         _stop(sp)
         r["load_mean"], r["load_peak"] = ls.mean, ls.peak
         r["clean"] = ls.mean <= 2 * slots + 3.0
@@ -569,10 +573,13 @@ def main() -> None:
         ups_large, ups_small = urls_scale / best_large, urls_scale / best_small
         eff = (ups_large / ups_small) / (slots_large / slots_small)
         # Single-box confound: the low-slot side runs each core faster
-        # (turbo headroom, exclusive memory bandwidth).  Measure that
-        # hardware slowdown with a fixed python workload and report the
-        # software scaling efficiency net of it (see
-        # hw_concurrency_slowdown docstring; both numbers published).
+        # (turbo headroom, exclusive memory bandwidth).  The fixed-
+        # workload slowdown factor is still MEASURED and published as
+        # diagnostic evidence — but it no longer adjusts the headline:
+        # ``efficiency`` IS the raw ratio (r4 VERDICT: "passing only via
+        # the sigma correction is not passing").  On a real N- vs
+        # 4N-executor cluster both sides have identical per-node
+        # conditions and this factor is 1 by construction.
         sigma = hw_concurrency_slowdown(2 * slots_small, 2 * slots_large)
         rep_secs = {
             side: [s for r in obs[side] for s in r["rep_secs"]] for side in ("large", "small")
@@ -585,8 +592,8 @@ def main() -> None:
             "urls_per_sec_small": round(ups_small, 2),
             "urls_per_sec_large": round(ups_large, 2),
             "efficiency_raw": round(eff, 3),
-            "hw_slowdown_factor": round(sigma, 3),
-            "efficiency": round(min(1.0, eff * sigma), 3),
+            "efficiency": round(eff, 3),
+            "hw_slowdown_factor_diag": round(sigma, 3),
             "rep_secs": rep_secs,
             "spread": {
                 side: round((max(s) - min(s)) / min(s), 3) for side, s in rep_secs.items()

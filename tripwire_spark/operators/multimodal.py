@@ -264,11 +264,12 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
 
 
 def _decode_image_real(content: bytes) -> np.ndarray:
-    """Decode an image blob to HxWx3 RGB.  BMP (pure struct+numpy) and
-    8-bit non-interlaced PNG (stdlib zlib + numpy unfiltering) decode
-    here; remaining compressed codecs (JPEG/...) need Pillow, which is
-    not in this container — those magics raise, and a deployment with
-    the libs swaps in the real call in this one branch."""
+    """Decode an image blob to HxWx3 RGB.  BMP (pure struct+numpy),
+    8-bit non-interlaced PNG (stdlib zlib + numpy unfiltering), and
+    baseline JPEG (functions/jpeg.py: huffman + dequant + vectorized
+    IDCT, 4:4:4/4:2:2/4:2:0/gray, restart markers) decode here;
+    progressive JPEG / the remaining codecs raise, and a deployment
+    with Pillow swaps in the real call in this one branch."""
     if content[:2] == b"BM":
         return decode_bmp(content)
     if content[:8] == PNG_MAGIC:
@@ -276,6 +277,11 @@ def _decode_image_real(content: bytes) -> np.ndarray:
         if arr.shape[2] == 1:  # gray -> RGB
             return np.repeat(arr, 3, axis=2)
         return arr[:, :, :3].copy() if arr.shape[2] == 4 else arr  # drop alpha
+    if content[:2] == b"\xff\xd8":
+        from tripwire_spark.functions.jpeg import decode_jpeg
+
+        arr = decode_jpeg(content)
+        return np.repeat(arr, 3, axis=2) if arr.shape[2] == 1 else arr
     raise NotImplementedError("compressed image codec not available in this container")
 
 
@@ -287,12 +293,15 @@ MEDIA_STATS_SCHEMA = (
 
 def synth_media_real(spark: SparkSession, n: int = 24) -> DataFrame:
     """Deterministic REAL media blobs: even ids carry gradient images —
-    alternating 24-bit BMP (i%4==0) and 8-bit PNG (i%4==2, RGBA every
-    other one, scanline filter cycling 0..4) — odd ids carry 16-bit PCM
-    WAV integer ramps; all decodable by this module's own pure-
-    numpy/stdlib codecs.  A driver-side fixture builder (like
+    cycling 24-bit BMP (i%6==0), 8-bit PNG (i%6==2, RGBA every other
+    one, scanline filter cycling 0..4), and baseline JPEG (i%6==4,
+    alternating 4:4:4 / 4:2:0 with restart markers) — odd ids carry
+    16-bit PCM WAV integer ramps; all decodable by this module's own
+    pure-numpy/stdlib codecs.  A driver-side fixture builder (like
     ``warc.write_warc``): fixtures are small; production media arrives
     in its own table."""
+    from tripwire_spark.functions.jpeg import encode_jpeg
+
     rows = []
     for i in range(n):
         if i % 2 == 0:
@@ -306,13 +315,18 @@ def synth_media_real(spark: SparkSession, n: int = 24) -> DataFrame:
                 ],
                 axis=-1,
             ).astype(np.uint8)
-            if i % 4 == 2:
-                if i % 8 == 6:  # RGBA variant (alpha ramp; decode drops it)
+            if i % 6 == 2:
+                if i % 12 == 8:  # RGBA variant (alpha ramp; decode drops it)
                     alpha = ((xx * 11 + i) % 256).astype(np.uint8)[:, :, None]
                     arr4 = np.concatenate([arr, alpha], axis=2)
                     blob = encode_png(arr4, filter_type=(i // 2) % 5)
                 else:
                     blob = encode_png(arr, filter_type=(i // 2) % 5)
+            elif i % 6 == 4:
+                blob = encode_jpeg(
+                    arr, quality=90, subsample=(i % 12 == 10),
+                    restart_interval=2 if i % 12 == 10 else 0,
+                )
             else:
                 blob = encode_bmp(arr)
             rows.append((i, "image", bytearray(blob), w, h, None, None))
@@ -350,6 +364,10 @@ def extract_media_stats(media: DataFrame) -> DataFrame:
                     elif cb[:8] == PNG_MAGIC:
                         arr = _decode_image_real(cb)  # RGB view (alpha dropped)
                         fmt, h, w = "png", arr.shape[0], arr.shape[1]
+                        lum = round(float(arr.mean()) / 255.0, 6)
+                    elif cb[:2] == b"\xff\xd8":
+                        arr = _decode_image_real(cb)  # baseline JPEG
+                        fmt, h, w = "jpeg", arr.shape[0], arr.shape[1]
                         lum = round(float(arr.mean()) / 255.0, 6)
                     elif cb[:4] == b"RIFF":
                         s, sr = decode_wav(cb)
@@ -414,7 +432,7 @@ def resize_thumbnails(media: DataFrame, max_side: int = 16) -> DataFrame:
             thumbs = []
             for c, tw_i, th_i in zip(pdf["content"], tw, th):
                 cb = bytes(c) if c is not None else b""
-                if cb[:2] == b"BM" or cb[:8] == PNG_MAGIC:
+                if cb[:2] == b"BM" or cb[:8] == PNG_MAGIC or cb[:2] == b"\xff\xd8":
                     try:
                         # thumbs normalize to one container (BMP) so
                         # downstream consumers decode uniformly
@@ -518,7 +536,8 @@ def perceptual_hash(media: DataFrame, side: int = 8) -> DataFrame:
             return None
 
     return media.filter(F.col("kind") == "image").mapInPandas(
-        _fingerprint_runner((b"BM", PNG_MAGIC), hash_one), schema=PHASH_SCHEMA
+        _fingerprint_runner((b"BM", PNG_MAGIC, b"\xff\xd8"), hash_one),
+        schema=PHASH_SCHEMA,
     )
 
 
