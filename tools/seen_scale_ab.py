@@ -54,24 +54,38 @@ def main() -> None:
     for n_state in (250_000, 10_000_000, 30_000_000):
         state = svc.init(hashes(n_cand // 2, n_state), "url_hash").persist()
         state_bytes = state.agg(F.sum(F.length("hashes") + F.length("bloom"))).first()[0]
-        for mode in ("scan", "cogroup"):  # interleaved within each size
-            # warm both code paths once, then best-of-3 timed
-            svc.admit(cands, state, mode=mode).write.mode("overwrite").format("noop").save()
+        # cogroup_bucketed (round-5): the state persisted BUCKETED on
+        # `bucket` via the snapshot table (the run_crawl checkpoint
+        # layout) — cogroup's state side then reads exchange-free, so
+        # its cost should be ~flat in state size like scan's, while
+        # plain in-memory cogroup ships the state bytes per admit.
+        import shutil, tempfile
+        from tripwire_spark.sources.snapshots import SnapshotTable
+        ck = tempfile.mkdtemp(prefix="seen_ab_bk_")
+        tbl = SnapshotTable(sp, ck, "seen_sketch", bucket_key="bucket", bucket_count=64)
+        tbl.commit(state, {})
+        state_bk = tbl.read_base()
+        for mode, st_df in (("scan", state), ("cogroup", state),
+                            ("cogroup_bucketed", state_bk)):
+            kw = {"mode": mode.split("_")[0]}
+            # warm the code path once, then best-of-3 timed
+            svc.admit(cands, st_df, **kw).write.mode("overwrite").format("noop").save()
             secs = []
             for _ in range(3):
                 t0 = time.time()
-                svc.admit(cands, state, mode=mode).write.mode("overwrite").format("noop").save()
+                svc.admit(cands, st_df, **kw).write.mode("overwrite").format("noop").save()
                 secs.append(round(time.time() - t0, 3))
             runs.append({"mode": mode, "n_state": n_state,
                          "state_mb": round(state_bytes / 1e6, 1), "secs": secs,
                          "best": min(secs), "loadavg": round(os.getloadavg()[0], 2)})
             print(json.dumps(runs[-1]))
         state.unpersist()
+        shutil.rmtree(ck, ignore_errors=True)
     _stop(sp)
 
     by = {(r["mode"], r["n_state"]): r["best"] for r in runs}
     growth = {m: round(by[(m, 30_000_000)] / by[(m, 250_000)], 3)
-              for m in ("scan", "cogroup")}
+              for m in ("scan", "cogroup", "cogroup_bucketed")}
     result = {"experiment": "seen_admit_history_scaling", "slots": slots,
               "n_candidates": n_cand, "runs": runs,
               "admit_growth_120x_state": growth}
