@@ -184,8 +184,11 @@ def test_crawl_fetch_join_strategies_identical(spark, fixture_tables):
     assert rows(fetch_join="shuffle_hash") == base
     assert rows(seen_mode="cogroup") == base
     assert rows(seen_mode="scan") == base
-    assert rows(seen_mode="auto", seen_mode_threshold=1) == base  # forces scan
-    assert rows(fetch_join="auto", fetch_join_threshold=1) == base  # forces shuffle_hash
+    # auto modes re-resolve per ROUND from zero-cost estimates (r5):
+    # threshold=1 flips seen to scan / fetch to shuffle_hash from round
+    # 2 on (round 1 has no prior-round numbers and takes the defaults)
+    assert rows(seen_mode="auto", seen_mode_threshold=1) == base
+    assert rows(fetch_join="auto", fetch_join_threshold=1) == base
     assert rows(fetch_join="auto") == base  # stays broadcast at this scale
 
 
@@ -409,4 +412,26 @@ def test_resume_rejects_geometry_mismatch(spark, fixture_tables, tmp_path):
             spark, seeds, pages, robots, BLACKLIST_PATTERNS,
             max_rounds=2, default_budget=2, checkpoint_dir=ck, resume=True,
             bloom_buckets=16,  # different m_bits per bucket
+        )
+
+
+def test_validate_url_hash_contract(spark, fixture_tables):
+    """ADVICE r4 #3: a pages table whose stored url_hash was computed
+    with a different hash must FAIL FAST under validate_url_hash=True
+    (silently dropped fetches otherwise), and a correctly-stored column
+    passes."""
+    from tripwire_spark.operators.crawl import run_crawl
+
+    pages, seeds, robots = fixture_tables
+    good = pages.withColumn("url_hash", F.xxhash64(F.col("url")))
+    st = run_crawl(
+        spark, seeds, good, robots, BLACKLIST_PATTERNS,
+        max_rounds=1, default_budget=2, validate_url_hash=True,
+    )
+    assert st.frontier.count() > 0
+    bad = pages.withColumn("url_hash", F.xxhash64(F.col("url"), F.lit(7)))
+    with pytest.raises(ValueError, match="url_hash"):
+        run_crawl(
+            spark, seeds, bad, robots, BLACKLIST_PATTERNS,
+            max_rounds=1, default_budget=2, validate_url_hash=True,
         )
