@@ -322,20 +322,26 @@ def test_seen_admit_bucketed_base_with_delta_side(spark, tmp_path):
     base, deltas = tbl.read_base(), tbl.read_deltas()
     assert deltas is not None
 
-    cands = _urls(spark, 2500, 2500)  # overlaps base AND delta AND fresh
+    # overlaps base AND delta AND fresh; __ck is a SECOND full-range
+    # 64-bit hash column riding along (like discover's D2 ck) — its
+    # byte-exact survival pins the no-float64-upcast contract (one null
+    # in an int64 Arrow column silently rounds every value past 2^53)
+    cands = _urls(spark, 2500, 2500).withColumn(
+        "__ck", F.xxhash64("url", F.lit("salt"))
+    )
     out = svc.admit(
         cands, base, hash_col="url_hash", mode="cogroup", next_seg=2,
         delta_side=deltas,
     ).persist()
-    fresh, delta2 = SeenState.split(out, ["url", "url_hash"])
+    fresh, delta2 = SeenState.split(out, ["url", "url_hash", "__ck"])
     # (a) answer == the plain cogroup over the unioned state
     ref_out = svc.admit(
         cands, SeenState.advance(base, deltas), hash_col="url_hash",
         mode="cogroup", next_seg=2,
     ).persist()
-    ref_fresh, ref_delta = SeenState.split(ref_out, ["url", "url_hash"])
-    assert sorted(r.url for r in fresh.collect()) == sorted(
-        r.url for r in ref_fresh.collect()
+    ref_fresh, ref_delta = SeenState.split(ref_out, ["url", "url_hash", "__ck"])
+    assert sorted((r["url"], r["__ck"]) for r in fresh.collect()) == sorted(
+        (r["url"], r["__ck"]) for r in ref_fresh.collect()
     )
     assert sorted((r.bucket, r.n_items) for r in delta2.collect()) == sorted(
         (r.bucket, r.n_items) for r in ref_delta.collect()

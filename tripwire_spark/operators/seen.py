@@ -514,12 +514,17 @@ class SeenState:
         left_cand = cand.select(
             "__bucket", F.lit(0).alias("__seg_tag"), *cand_cols, *null_seg
         )
-        # hash_col stays 0 (not NULL) on segment rows: a nullable int64
-        # would float64-upcast in pandas and corrupt the CANDIDATE
-        # hashes sharing the column past the 52-bit mantissa.
+        # EVERY integral candidate column is zero-filled (not NULL) on
+        # segment rows: one null in an int64 Arrow column makes pandas
+        # deliver the whole column as float64, corrupting the CANDIDATE
+        # values sharing it past the 52-bit mantissa — and candidate
+        # frames carry 64-bit hashes beyond hash_col (parent qids, D2
+        # ck hashes).  Segment rows' candidate fields are never read,
+        # so the fill value is free; non-integral types stay NULL.
+        _integral = ("long", "int", "integer", "short", "byte", "bigint", "smallint", "tinyint")
         null_cand = [
-            F.lit(0).cast("long").alias(f.name)
-            if f.name == hash_col
+            F.lit(0).cast(f.dataType).alias(f.name)
+            if f.dataType.simpleString() in _integral
             else F.lit(None).cast(f.dataType).alias(f.name)
             for f in candidates.schema.fields
         ]
