@@ -383,3 +383,29 @@ def test_seen_compact_rejects_mixed_geometry(spark):
     mixed = SeenState.advance(sa, sb)
     with pytest.raises(Exception, match="mixed bloom geometry"):
         a.compact(mixed).collect()
+
+
+def test_scan_mode_preserves_full_range_int64_columns(spark):
+    """Round-5 regression (real bug found in review): with >=1 hit row
+    in a batch, scan mode's null-padded tagged union float64-upcast the
+    candidates' OTHER int64 columns, silently rounding 64-bit hashes
+    (D2 ck, discovery parent qids) past the 52-bit mantissa — 1491 of
+    1500 companion hashes corrupted in the repro.  Zero-filled now;
+    this pins byte-exact survival and scan==cogroup on those columns."""
+    from tripwire_spark.operators.seen import SeenState
+
+    svc = SeenState(n_buckets=8)
+    with_ck = lambda df: df.withColumn("ck64", F.xxhash64("url", F.lit("ck")))  # noqa: E731
+    state = svc.init(_urls(spark, 0, 3000), "url_hash").persist()
+    cands = with_ck(_urls(spark, 2500, 2000))  # 500 hits, 1500 fresh
+    outs = {}
+    for mode in ("scan", "cogroup"):
+        out = svc.admit(cands, state, hash_col="url_hash", mode=mode, next_seg=1)
+        fresh, _ = SeenState.split(out, ["url", "url_hash", "ck64"])
+        bad = fresh.filter(
+            F.col("ck64") != F.xxhash64("url", F.lit("ck"))
+        ).count()
+        assert bad == 0, f"{mode}: {bad} corrupted 64-bit companion values"
+        outs[mode] = sorted((r["url"], r["ck64"]) for r in fresh.collect())
+        assert len(outs[mode]) == 1500
+    assert outs["scan"] == outs["cogroup"]

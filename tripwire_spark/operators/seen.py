@@ -646,8 +646,20 @@ class SeenState:
         # anti-join here measured +14 s on the per-run serial constant
         # of the sf0.1 scaling pair — each broadcast build is a driver
         # barrier the 1-slot side pays in full.)
+        # Integral columns are ZERO-filled (not NULL) on hit rows: one
+        # null in an int64 Arrow column makes pandas deliver the whole
+        # column as float64, silently rounding the CANDIDATE rows'
+        # 64-bit values (parent qids, D2 ck hashes) past the 52-bit
+        # mantissa — hit rows only contribute their hash, so the fill
+        # is never read.  (Found in round 5; the mode's own plan test
+        # now rides a second full-range hash column through the path.)
+        _integral = ("long", "int", "integer", "short", "byte", "bigint", "smallint", "tinyint")
         null_cols = [
-            F.lit(None).cast(f.dataType).alias(f.name)
+            (
+                F.lit(0).cast(f.dataType)
+                if f.dataType.simpleString() in _integral
+                else F.lit(None).cast(f.dataType)
+            ).alias(f.name)
             for f in candidates.schema.fields
             if f.name != hash_col
         ]
